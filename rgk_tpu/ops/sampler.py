@@ -1,0 +1,144 @@
+"""Stateless counter-based sampling for wavefront path tracing.
+
+The reference uses mutable per-pixel sampler objects (mt19937 +
+std::shuffle, reference src/sampler.cpp) — a pattern that cannot run
+lane-parallel on a vector machine.  Here every sample value is a pure
+function of ``(seed, pixel_index, sample_index, dimension)``:
+
+* ``independent`` — a PCG/murmur-style 32-bit hash mixer, equivalent in
+  spirit to the reference's IndependentSampler.
+* ``halton`` (default) — per-dimension radical inverse in the first 16
+  prime bases over the *global* sample index, decorrelated across pixels
+  and dimensions with a hash-based Cranley-Patterson rotation.  This
+  plays the role of the reference's stratified/low-discrepancy samplers
+  (StratifiedSampler is the reference default, src/path_tracer.cpp:49)
+  while staying stateless and order-independent.
+
+The *dimension consumption ledger* (which dim feeds which decision) is
+fixed in the integrator, mirroring the reference's deterministic
+consumption order (SURVEY §3.5) — this is the reproducibility contract:
+re-rendering with the same seed is bitwise identical, on any device
+mesh shape.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53)
+
+_U32 = jnp.uint32
+
+
+class SampleCtx(NamedTuple):
+    """Per-lane sampling context.
+
+    seed:   scalar uint32 root seed (mixes run seed and round index)
+    pixel:  uint32[...]  pixel index (y * xres + x) per lane
+    sample: uint32[...]  global sample index per lane (round-unique)
+    mode:   int — 0 independent, 1 halton (static per trace)
+    """
+
+    seed: jnp.ndarray
+    pixel: jnp.ndarray
+    sample: jnp.ndarray
+    mode: int = 1
+
+
+def _mix(x):
+    """murmur3 finalizer: a high-quality 32-bit bit mixer."""
+    x = x.astype(_U32)
+    x = x ^ (x >> 16)
+    x = x * _U32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * _U32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def hash_u32(*parts):
+    """Combine integer arrays into one well-mixed uint32."""
+    h = _U32(0x9E3779B9)
+    for p in parts:
+        h = _mix(h ^ (jnp.asarray(p).astype(_U32) * _U32(0x85EBCA6B)))
+    return h
+
+
+def _u32_to_unit_float(u):
+    # Top 24 bits -> [0, 1) with full float32 resolution.
+    return (u >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def hash01(*parts):
+    return _u32_to_unit_float(hash_u32(*parts))
+
+
+def _radical_inverse(index, base: int):
+    """Radical inverse of `index` in integer `base` (static base)."""
+    if base == 2:
+        # Bit reversal — exact and fast.
+        v = index.astype(_U32)
+        v = ((v >> 1) & _U32(0x55555555)) | ((v & _U32(0x55555555)) << 1)
+        v = ((v >> 2) & _U32(0x33333333)) | ((v & _U32(0x33333333)) << 2)
+        v = ((v >> 4) & _U32(0x0F0F0F0F)) | ((v & _U32(0x0F0F0F0F)) << 4)
+        v = ((v >> 8) & _U32(0x00FF00FF)) | ((v & _U32(0x00FF00FF)) << 8)
+        v = (v >> 16) | (v << 16)
+        return v.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    inv_base = jnp.float32(1.0 / base)
+    # ceil(log_base(2^32)) digits is enough; unrolled statically.
+    import math
+
+    n_digits = int(math.ceil(32.0 / math.log2(base)))
+    idx = index.astype(jnp.uint32)
+    result = jnp.zeros(index.shape, jnp.float32)
+    scale = jnp.float32(1.0)
+    for _ in range(n_digits):
+        digit = (idx % base).astype(jnp.float32)
+        idx = idx // base
+        scale = scale * inv_base
+        result = result + digit * scale
+    return result
+
+
+def sample_1d(ctx: SampleCtx, dim: int):
+    """Deterministic uniform [0,1) for (lane, dim).  `dim` is static."""
+    if ctx.mode == 1 and dim < len(_PRIMES):
+        v = _radical_inverse(ctx.sample, _PRIMES[dim])
+        # Cranley-Patterson rotation decorrelates pixels & dimensions.
+        shift = hash01(ctx.pixel, jnp.uint32(dim), ctx.seed)
+        u = v + shift
+        u = u - jnp.floor(u)
+    else:
+        u = _u32_to_unit_float(
+            hash_u32(ctx.pixel, ctx.sample, jnp.uint32(dim), ctx.seed)
+        )
+    return jnp.minimum(u, jnp.float32(1.0 - 1e-7))
+
+
+def sample_2d(ctx: SampleCtx, dim: int):
+    """Deterministic uniform [0,1)^2 consuming dims (dim, dim+1)."""
+    return jnp.stack([sample_1d(ctx, dim), sample_1d(ctx, dim + 1)], axis=-1)
+
+
+# Dimension ledger for the integrator (mirrors the reference's
+# consumption order, SURVEY §3.5; kept fixed regardless of material so
+# the mapping is data-independent and lane-parallel):
+DIM_PIXEL_JITTER = 0      # 2D subpixel offset
+DIM_LENS = 2              # 2D thin-lens disc sample
+DIM_AREAL = 4             # 2D areal-light surface sample
+DIM_LIGHTDIR = 6          # 2D light-path emission direction
+DIM_LIGHT_CHOICE = 8      # 2D light pick + 1D triangle pick
+DIM_LIGHT_TRI = 10        # 1D
+DIM_EYE_BOUNCE = 11       # 3 dims per eye bounce: bxdf 2D + russian 1D
+DIMS_PER_BOUNCE = 3
+
+
+def eye_bounce_dim(bounce: int, max_depth: int = 0) -> int:
+    return DIM_EYE_BOUNCE + DIMS_PER_BOUNCE * bounce
+
+
+def light_bounce_dim(bounce: int, max_depth: int) -> int:
+    """Light-subpath dims start after all eye-bounce dims."""
+    return DIM_EYE_BOUNCE + DIMS_PER_BOUNCE * (max_depth + bounce)

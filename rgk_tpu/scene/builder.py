@@ -1,0 +1,399 @@
+"""Host-side scene assembly: materials, textures, geometry, lights.
+
+The builder mirrors the responsibilities of the reference's mutable
+Scene (reference src/scene.cpp): material registration with override
+semantics, a path-keyed texture cache, growing geometry buffers, point
+and areal light registration, then a single `commit()` that freezes
+everything into device-ready SoA `SceneArrays` (scene/arrays.py) and
+builds the BVH.
+
+All assembly is numpy on the host; nothing touches JAX until commit.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..io.texture_io import load_texture
+from ..utils import log as out
+from . import transforms as xf
+from .arrays import (
+    BSDF_DIELECTRIC,
+    BSDF_DIFFUSE,
+    BSDF_LTC_BECKMANN,
+    BSDF_LTC_BECKMANN_DIFFUSE,
+    BSDF_LTC_GGX,
+    BSDF_LTC_GGX_DIFFUSE,
+    BSDF_MIRROR,
+    BSDF_MIX,
+    BSDF_NAMES,
+    BSDF_TRANSPARENT,
+    BVHArrays,
+    LightTable,
+    MaterialTable,
+    SceneArrays,
+    SceneMeta,
+    TextureAtlas,
+    _f32,
+    _i32,
+)
+from .json_utils import ConfigError
+
+
+def phong_exponent_to_roughness(exponent: float) -> float:
+    """The reference's Phong-exponent -> LTC roughness map
+    (src/bxdf/bxdf.cpp:142-143 and 176-180)."""
+    return float(np.sqrt(2.0 / (2.0 + exponent)))
+
+
+@dataclass
+class MaterialSpec:
+    """Host-side material description, later packed into MaterialTable."""
+    name: str
+    bxdf: int = BSDF_DIFFUSE
+    emission: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    diffuse: np.ndarray = field(default_factory=lambda: np.full(3, 0.5, np.float32))
+    diffuse_tex: int = -1
+    specular: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    specular_tex: int = -1
+    bump_tex: int = -1
+    roughness: float = 0.5
+    ior: float = 1.0
+    mix_m1: str = ""
+    mix_m2: str = ""
+    mix_amt: float = 0.5
+    no_russian: bool = False
+    is_thinglass: bool = False
+
+
+class SceneBuilder:
+    def __init__(self):
+        self.materials: List[MaterialSpec] = []
+        self.material_index: Dict[str, int] = {}
+        self.textures: List[np.ndarray] = []
+        self.texture_index: Dict[str, int] = {}
+
+        self.vertices: List[np.ndarray] = []
+        self.normals: List[np.ndarray] = []
+        self.tangents: List[np.ndarray] = []
+        self.uvs: List[np.ndarray] = []
+        self.tri_vidx: List[np.ndarray] = []
+        self.tri_mat: List[np.ndarray] = []
+        self._vertex_count = 0
+        self._tri_count = 0
+
+        # Areal light groups: (material_index, [triangle indices])
+        self.areal_groups: List[tuple] = []
+
+        self.point_lights: List[dict] = []
+
+        self.sky_color = np.zeros(3, np.float32)
+        self.sky_intensity = 1.0
+        self.sky_rotate = 0.0
+        self.sky_tex = -1
+
+        self.thinglass_phrases: List[str] = []
+
+    # ---------------- materials & textures ----------------
+
+    def register_material(self, spec: MaterialSpec, override: bool = False) -> int:
+        """Register by name; duplicates are kept or replaced per
+        `override` (reference scene.cpp RegisterMaterial:73-94)."""
+        if spec.name in self.material_index:
+            idx = self.material_index[spec.name]
+            if override:
+                self.materials[idx] = spec
+            return idx
+        idx = len(self.materials)
+        self.materials.append(spec)
+        self.material_index[spec.name] = idx
+        return idx
+
+    def material_id(self, name: str) -> int:
+        if name not in self.material_index:
+            raise ConfigError(f'Material named "{name}" was not defined')
+        return self.material_index[name]
+
+    def get_texture(self, path: str) -> int:
+        """Load-once texture cache keyed by path (scene.cpp:252-278)."""
+        path = os.path.normpath(path)
+        if path in self.texture_index:
+            return self.texture_index[path]
+        img = load_texture(path)
+        idx = len(self.textures)
+        self.textures.append(img)
+        self.texture_index[path] = idx
+        out.log(5, f"Loaded texture '{path}' {img.shape[1]}x{img.shape[0]}")
+        return idx
+
+    # ---------------- geometry ----------------
+
+    def add_soup(self, positions, normals, uvs, tangents, material: str,
+                 transform: Optional[np.ndarray] = None,
+                 texture_transform: Optional[np.ndarray] = None) -> None:
+        """Add an unindexed triangle soup (3 consecutive rows = 1 face).
+
+        Used for built-in primitives (reference scene.cpp AddPrimitive):
+        points get the full 4x4, direction attributes the linear part
+        (renormalized), uvs the 3x3 texture transform.
+        """
+        positions = np.asarray(positions, np.float64)
+        n = positions.shape[0]
+        assert n % 3 == 0
+        if transform is not None:
+            positions = xf.apply_points(transform, positions)
+            normals = xf.apply_vectors(transform, np.asarray(normals, np.float64))
+            tangents = xf.apply_vectors(transform, np.asarray(tangents, np.float64))
+        uvs = np.asarray(uvs, np.float64)
+        if texture_transform is not None:
+            uv1 = np.concatenate([uvs, np.ones((n, 1))], axis=1)
+            uvs = uv1 @ texture_transform.T
+            uvs = uvs[:, :2]
+        faces = np.arange(n, dtype=np.int64).reshape(-1, 3)
+        self.add_mesh(positions, normals, uvs, tangents, faces, material)
+
+    def add_mesh(self, positions, normals, uvs, tangents, faces,
+                 material: str) -> None:
+        """Add an indexed mesh with shared-per-vertex attributes."""
+        mat_id = self.material_id(material)
+        v0 = self._vertex_count
+        positions = np.asarray(positions, np.float32)
+        nverts = positions.shape[0]
+        self.vertices.append(positions)
+        self.normals.append(np.asarray(normals, np.float32))
+        self.tangents.append(
+            np.zeros((nverts, 3), np.float32) if tangents is None
+            else np.asarray(tangents, np.float32))
+        self.uvs.append(
+            np.zeros((nverts, 2), np.float32) if uvs is None
+            else np.asarray(uvs, np.float32))
+        faces = np.asarray(faces, np.int64) + v0
+        nf = faces.shape[0]
+        self.tri_vidx.append(faces.astype(np.int32))
+        self.tri_mat.append(np.full(nf, mat_id, np.int32))
+        self._vertex_count += nverts
+
+        spec = self.materials[mat_id]
+        if np.any(spec.emission != 0.0):
+            tri_ids = np.arange(self._tri_count, self._tri_count + nf)
+            self.areal_groups.append((mat_id, tri_ids))
+        self._tri_count += nf
+
+    # ---------------- lights & sky ----------------
+
+    def add_point_light(self, pos, color, intensity: float, size: float = 0.0):
+        self.point_lights.append(dict(
+            pos=np.asarray(pos, np.float32),
+            color=np.asarray(color, np.float32),
+            intensity=float(intensity), size=float(size)))
+
+    def set_sky_color(self, color, intensity: float = 1.0) -> None:
+        self.sky_color = np.asarray(color, np.float32)
+        self.sky_intensity = float(intensity)
+        self.sky_tex = -1
+
+    def set_sky_envmap(self, path: str, intensity: float = 1.0,
+                       rotate: float = 0.0) -> None:
+        self.sky_tex = self.get_texture(path)
+        self.sky_intensity = float(intensity)
+        self.sky_rotate = float(rotate)
+
+    def make_thinglass_set(self, phrases: List[str]) -> None:
+        """Materials whose name contains any phrase become thin-glass
+        (reference scene.cpp MakeThinglassSet:659-668)."""
+        self.thinglass_phrases = list(phrases)
+        for spec in self.materials:
+            if any(p in spec.name for p in phrases):
+                spec.is_thinglass = True
+
+    # ---------------- commit ----------------
+
+    def commit(self, build_bvh: bool = True, bvh_leaf_size: int = 4):
+        """Freeze to SoA arrays + light tables + BVH.
+
+        Equivalent of Scene::Commit (reference scene.cpp:294-419):
+        computes the dynamic epsilon (1e-5 x bbox diameter,
+        scene.cpp:390), per-triangle geometric normals, areal light
+        power tables, and the acceleration structure.
+        """
+        if self._tri_count == 0:
+            raise ConfigError("cannot commit an empty scene")
+
+        vertices = np.concatenate(self.vertices, axis=0)
+        normals = np.concatenate(self.normals, axis=0)
+        tangents = np.concatenate(self.tangents, axis=0)
+        uvs = np.concatenate(self.uvs, axis=0)
+        tri_vidx = np.concatenate(self.tri_vidx, axis=0)
+        tri_mat = np.concatenate(self.tri_mat, axis=0)
+
+        # Geometric plane normal per triangle: normalize(cross(C-A, B-A))
+        # — the reference's winding convention (primitives.cpp:24-36).
+        a = vertices[tri_vidx[:, 0]]
+        b = vertices[tri_vidx[:, 1]]
+        c = vertices[tri_vidx[:, 2]]
+        gn = np.cross(c - a, b - a)
+        gl = np.linalg.norm(gn, axis=-1, keepdims=True)
+        tri_normal = gn / np.maximum(gl, 1e-20)
+
+        # Bounding box & dynamic epsilon.
+        wmin = vertices.min(axis=0)
+        wmax = vertices.max(axis=0)
+        diameter = float(np.linalg.norm(wmax - wmin))
+        epsilon = 1e-5 * diameter
+        out.log(3, f"Using dynamic epsilon: {epsilon}")
+
+        materials = self._pack_materials()
+        textures = self._pack_textures()
+        lights = self._pack_lights(vertices, tri_vidx)
+
+        if build_bvh and self._tri_count > 8:
+            from .bvh import build_bvh as _build
+            bvh = _build(vertices, tri_vidx, leaf_size=bvh_leaf_size)
+            has_bvh = True
+        else:
+            bvh = BVHArrays(
+                node_min=_f32(np.zeros((1, 3))),
+                node_max=_f32(np.zeros((1, 3))),
+                node_meta=_i32(np.zeros((1, 3))),
+                prim_idx=_i32(np.arange(self._tri_count)),
+            )
+            has_bvh = False
+
+        arrays = SceneArrays(
+            vertices=_f32(vertices),
+            normals=_f32(normals),
+            tangents=_f32(tangents),
+            uvs=_f32(uvs),
+            tri_vidx=_i32(tri_vidx),
+            tri_mat=_i32(tri_mat),
+            tri_normal=_f32(tri_normal),
+            materials=materials,
+            textures=textures,
+            lights=lights,
+            bvh=bvh,
+            sky_color=_f32(self.sky_color),
+            sky_intensity=_f32(self.sky_intensity),
+            sky_rotate=_f32(self.sky_rotate),
+            sky_tex=_i32(self.sky_tex),
+            epsilon=_f32(epsilon),
+            world_min=_f32(wmin - epsilon),
+            world_max=_f32(wmax + epsilon),
+        )
+        meta = SceneMeta(
+            n_triangles=int(self._tri_count),
+            n_materials=len(self.materials),
+            n_point_lights=len(self.point_lights),
+            n_areal_tris=int(arrays.lights.areal_tri.shape[0])
+            if float(arrays.lights.total_areal_power) > 0 else 0,
+            has_bvh=has_bvh,
+            has_textures=len(self.textures) > 0,
+            has_thinglass=any(m.is_thinglass for m in self.materials),
+            material_names=tuple(m.name for m in self.materials),
+        )
+        out.log(2, f"Committed {self._vertex_count} vertices, "
+                   f"{self._tri_count} triangles, {len(self.textures)} "
+                   f"textures, {len(self.point_lights)} pointlights and "
+                   f"{len(self.areal_groups)} areal lights to the scene.")
+        return arrays, meta
+
+    def _pack_materials(self) -> MaterialTable:
+        n = max(1, len(self.materials))
+        mats = self.materials or [MaterialSpec(name="__default")]
+
+        def res_mix(name, self_idx):
+            return self.material_index.get(name, self_idx)
+
+        return MaterialTable(
+            bxdf_type=_i32([m.bxdf for m in mats]),
+            emission=_f32([m.emission for m in mats]),
+            diffuse=_f32([m.diffuse for m in mats]),
+            diffuse_tex=_i32([m.diffuse_tex for m in mats]),
+            specular=_f32([m.specular for m in mats]),
+            specular_tex=_i32([m.specular_tex for m in mats]),
+            bump_tex=_i32([m.bump_tex for m in mats]),
+            roughness=_f32([m.roughness for m in mats]),
+            ior=_f32([m.ior for m in mats]),
+            mix_m1=_i32([res_mix(m.mix_m1, i) for i, m in enumerate(mats)]),
+            mix_m2=_i32([res_mix(m.mix_m2, i) for i, m in enumerate(mats)]),
+            mix_amt=_f32([m.mix_amt for m in mats]),
+            no_russian=_i32([m.no_russian for m in mats]).astype(bool),
+            is_thinglass=_i32([m.is_thinglass for m in mats]).astype(bool),
+        )
+
+    def _pack_textures(self) -> TextureAtlas:
+        if not self.textures:
+            return TextureAtlas(
+                texels=_f32(np.zeros((1, 3))), desc=_i32(np.zeros((1, 3))))
+        descs, chunks, offset = [], [], 0
+        for img in self.textures:
+            h, w = img.shape[:2]
+            descs.append((offset, w, h))
+            chunks.append(img.reshape(-1, 3))
+            offset += w * h
+        return TextureAtlas(
+            texels=_f32(np.concatenate(chunks, axis=0)),
+            desc=_i32(np.asarray(descs)),
+        )
+
+    def _pack_lights(self, vertices, tri_vidx) -> LightTable:
+        # Point lights: power = intensity * 4*pi (scene.cpp:344-347).
+        if self.point_lights:
+            p_pos = np.stack([l["pos"] for l in self.point_lights])
+            p_col = np.stack([l["color"] for l in self.point_lights])
+            p_int = np.array([l["intensity"] for l in self.point_lights], np.float32)
+            p_size = np.array([l["size"] for l in self.point_lights], np.float32)
+            p_pow = p_int * 4.0 * np.pi
+        else:
+            p_pos = np.zeros((1, 3), np.float32)
+            p_col = np.zeros((1, 3), np.float32)
+            p_int = np.zeros(1, np.float32)
+            p_size = np.zeros(1, np.float32)
+            p_pow = np.zeros(1, np.float32)
+        total_point = float(p_pow.sum())
+
+        # Areal lights flattened to triangles with weight
+        # area * sum(emission) — same joint distribution as the
+        # reference's group-then-triangle pick (scene.cpp:686-745).
+        a_tri, a_w, a_em = [], [], []
+        total_areal = 0.0
+        for mat_id, tri_ids in self.areal_groups:
+            em = np.asarray(self.materials[mat_id].emission, np.float32)
+            em_sum = float(em.sum())
+            va = vertices[tri_vidx[tri_ids, 0]]
+            vb = vertices[tri_vidx[tri_ids, 1]]
+            vc = vertices[tri_vidx[tri_ids, 2]]
+            areas = 0.5 * np.linalg.norm(
+                np.cross(va - vb, vc - vb), axis=-1)
+            w = areas * em_sum
+            a_tri.append(tri_ids)
+            a_w.append(w)
+            a_em.append(np.broadcast_to(em, (len(tri_ids), 3)))
+            total_areal += float(w.sum())
+        if a_tri:
+            a_tri = np.concatenate(a_tri)
+            a_w = np.concatenate(a_w)
+            a_em = np.concatenate(a_em, axis=0)
+        else:
+            a_tri = np.zeros(1, np.int32)
+            a_w = np.zeros(1, np.float32)
+            a_em = np.zeros((1, 3), np.float32)
+
+        out.log(3, f"Total areal lights power: {total_areal}W")
+        out.log(3, f"Total point lights power: {total_point}W")
+
+        return LightTable(
+            point_pos=_f32(p_pos),
+            point_color=_f32(p_col),
+            point_intensity=_f32(p_int),
+            point_size=_f32(p_size),
+            point_cum=_f32(np.cumsum(p_pow)),
+            areal_tri=_i32(a_tri),
+            areal_cum=_f32(np.cumsum(a_w)),
+            areal_emission=_f32(a_em),
+            total_point_power=_f32(total_point),
+            total_areal_power=_f32(total_areal),
+        )
