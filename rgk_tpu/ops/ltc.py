@@ -1,0 +1,172 @@
+"""Linearly Transformed Cosines: table fetch, PDF eval, sampling.
+
+Lane-parallel port of the reference's LTC runtime (reference
+src/LTC/ltc.cpp) over the extracted 64x64 fitted tables
+(rgk_tpu/data/ltc_tables.npz, see tools/extract_ltc.py):
+
+* bilinear fetch over (theta/(pi/2), sqrt(alpha)) with the reference's
+  0.999 clamping (ltc.cpp get_bilinear:20-57);
+* `pdf` — the BRDF value: amplitude * D(normalize(M^-1 v)) / Jacobian
+  (ltc.cpp GetPDF:59-87), including the reference's *unnormalized*
+  (Vi_cast, tangent, N) frame whose xy columns carry a sin(theta)
+  scale — kept for behavioral parity;
+* `sample` — pushes a cosine-hemisphere vector through M, clamps
+  z >= 1e-4, rotates out, with theta floored at pi/4
+  (ltc.cpp GetRandom:113-143).
+
+All in the local shading frame (+Z normal).  Everything is
+differentiable w.r.t. roughness (via the table interpolation weights).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import vecmath as vm
+
+_SIZE = 64
+_HALF_PI = 0.5 * 3.14159  # the reference's value, not np.pi/2
+
+
+class LTCTables(NamedTuple):
+    """Stacked [kind, 64, 64, ...] tables; kind 0 = Beckmann, 1 = GGX
+    (order matches the BSDF enum parity: beckmann types are even)."""
+    m: jnp.ndarray    # f32 [2, 64, 64, 3, 3]
+    amp: jnp.ndarray  # f32 [2, 64, 64]
+
+
+KIND_BECKMANN = 0
+KIND_GGX = 1
+
+
+@lru_cache(maxsize=1)
+def load_tables() -> LTCTables:
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "ltc_tables.npz")
+    d = np.load(os.path.abspath(path))
+    m = np.stack([d["beckmann_m"], d["ggx_m"]])
+    amp = np.stack([d["beckmann_amp"], d["ggx_amp"]])
+    return LTCTables(m=jnp.asarray(m, jnp.float32),
+                     amp=jnp.asarray(amp, jnp.float32))
+
+
+def fetch_bilinear(tables: LTCTables, kind, theta, alpha):
+    """Bilinearly interpolated (M[...,3,3], amplitude[...]).
+
+    kind: int32[...]; theta: radians [...]; alpha: roughness [...].
+    """
+    t = jnp.clip(theta / _HALF_PI, 0.0, 1.0)
+    a = jnp.clip(jnp.sqrt(jnp.maximum(alpha, 0.0)), 0.0, 1.0)
+    t = jnp.minimum(t, 0.999)
+    a = jnp.minimum(a, 0.999)
+    s = _SIZE - 1
+    t1 = jnp.floor(t * s).astype(jnp.int32)
+    a1 = jnp.floor(a * s).astype(jnp.int32)
+    t2 = t1 + 1
+    a2 = a1 + 1
+    dt1 = t * s - t1.astype(jnp.float32)
+    dt2 = 1.0 - dt1
+    da1 = a * s - a1.astype(jnp.float32)
+    da2 = 1.0 - da1
+
+    def gm(ti, ai):
+        return tables.m[kind, ti, ai]
+
+    def ga(ti, ai):
+        return tables.amp[kind, ti, ai]
+
+    w11 = (dt2 * da2)[..., None, None]
+    w12 = (dt2 * da1)[..., None, None]
+    w21 = (dt1 * da2)[..., None, None]
+    w22 = (dt1 * da1)[..., None, None]
+    M = gm(t1, a1) * w11 + gm(t1, a2) * w12 + gm(t2, a1) * w21 + gm(t2, a2) * w22
+    A = (ga(t1, a1) * dt2 * da2 + ga(t1, a2) * dt2 * da1
+         + ga(t2, a1) * dt1 * da2 + ga(t2, a2) * dt1 * da1)
+    return M, A
+
+
+def _det3(M):
+    return (M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1])
+            - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 0])
+            + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]))
+
+
+def _inv3(M, det):
+    """Adjugate-based batched 3x3 inverse (avoids jnp.linalg on TPU)."""
+    c00 = M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1]
+    c01 = M[..., 0, 2] * M[..., 2, 1] - M[..., 0, 1] * M[..., 2, 2]
+    c02 = M[..., 0, 1] * M[..., 1, 2] - M[..., 0, 2] * M[..., 1, 1]
+    c10 = M[..., 1, 2] * M[..., 2, 0] - M[..., 1, 0] * M[..., 2, 2]
+    c11 = M[..., 0, 0] * M[..., 2, 2] - M[..., 0, 2] * M[..., 2, 0]
+    c12 = M[..., 0, 2] * M[..., 1, 0] - M[..., 0, 0] * M[..., 1, 2]
+    c20 = M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]
+    c21 = M[..., 0, 1] * M[..., 2, 0] - M[..., 0, 0] * M[..., 2, 1]
+    c22 = M[..., 0, 0] * M[..., 1, 1] - M[..., 0, 1] * M[..., 1, 0]
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c10, c11, c12], axis=-1),
+        jnp.stack([c20, c21, c22], axis=-1),
+    ], axis=-2)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    return adj * inv_det[..., None, None]
+
+
+def _matvec(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v)
+
+
+def _frame_unrotate(v_frame, v):
+    """Apply the inverse of the reference's scaled (Vi_cast, tangent,
+    N=+Z) frame to `v` (ltc.cpp GetPDF:64-72): xy components come out
+    scaled by 1/sin^2(theta) relative to a pure rotation — parity with
+    the reference's unnormalized columns."""
+    fx, fy = v_frame[..., 0], v_frame[..., 1]
+    s2 = jnp.maximum(fx * fx + fy * fy, 1e-12)
+    x = (fx * v[..., 0] + fy * v[..., 1]) / s2
+    y = (-fy * v[..., 0] + fx * v[..., 1]) / s2
+    return jnp.stack([x, y, v[..., 2]], axis=-1)
+
+
+def _frame_rotate(v_frame, v):
+    """The forward scaled frame (ltc.cpp GetRandom:117-121)."""
+    fx, fy = v_frame[..., 0], v_frame[..., 1]
+    x = fx * v[..., 0] - fy * v[..., 1]
+    y = fy * v[..., 0] + fx * v[..., 1]
+    return jnp.stack([x, y, v[..., 2]], axis=-1)
+
+
+def pdf(tables: LTCTables, kind, v_frame, v_eval, alpha):
+    """LTC BRDF value: frame around `v_frame`, evaluated at `v_eval`
+    (both local, +Z normal).  NOTE call-site convention: the reference
+    BxDFLTC::value builds the frame around the *outgoing* vector and
+    evaluates the *incoming* one (src/bxdf/bxdf.hpp:110-114)."""
+    theta = jnp.arccos(jnp.clip(v_frame[..., 2], -1.0, 1.0))
+    M, amp = fetch_bilinear(tables, kind, theta, alpha)
+    vr3 = _frame_unrotate(v_frame, v_eval)
+    det = _det3(M)
+    q = _matvec(_inv3(M, det), vr3)
+    p = vm.normalize(q)
+    L = _matvec(M, p)
+    l2 = jnp.sum(L * L, axis=-1)
+    l3 = l2 * jnp.sqrt(jnp.maximum(l2, 1e-30))
+    jac = det / jnp.maximum(l3, 1e-30)
+    D = jnp.maximum(0.0, p[..., 2]) / 3.14159
+    return amp * D / jnp.where(jnp.abs(jac) > 1e-20, jac, 1e-20)
+
+
+def sample(tables: LTCTables, kind, v_in, alpha, rand_hscos):
+    """Sample an outgoing direction: M @ cosine-hemisphere vector,
+    z clamped, rotated into the frame around `v_in`; theta floored at
+    pi/4 for the table fetch (ltc.cpp GetRandom:123)."""
+    theta = jnp.arccos(jnp.clip(v_in[..., 2], -1.0, 1.0))
+    theta = jnp.maximum(theta, jnp.pi / 4.0)
+    M, _ = fetch_bilinear(tables, kind, theta, alpha)
+    s = _matvec(M, rand_hscos)
+    s = s.at[..., 2].set(jnp.maximum(s[..., 2], 1e-4))
+    s = _frame_rotate(v_in, s)
+    return vm.normalize(s)
