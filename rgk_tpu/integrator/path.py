@@ -10,16 +10,25 @@ update, never control flow.  All physics matches the reference:
 
 * per-path single light sample used for NEE at every vertex
   (path_tracer.cpp:322-325);
-* per-vertex radiance = NEE + emission, clamped, times the cumulative
-  contribution *before* this vertex (path_tracer.cpp:427-496);
-* russian roulette from vertex 2 with 1/p compensation at the *next*
-  vertex (path_tracer.cpp:265-285);
+* per-vertex radiance = NEE + emission (+ BDPT connections when
+  reverse > 0), clamped, times the cumulative contribution *before*
+  this vertex (path_tracer.cpp:427-496);
+* russian roulette from vertex 2 with 1/p compensation entering at
+  the next vertex's coefficient — including the reference's
+  one-uncompensated-check quirk (see tests/test_renderer.py);
 * throughput cutoff at max < 1e-3; light-leak guard terminating the
   path after shading the vertex (path_tracer.cpp:251-260);
-* next-ray origin offset +-10*eps along the geometric-interpolated
-  normal (path_tracer.cpp:291-295);
+* next-ray origin offset +-10*eps along the interpolated normal
+  (path_tracer.cpp:291-295);
 * sky escape adds envmap radiance evaluated at -ray_dir
   (path_tracer.cpp:409-415).
+
+Bidirectional mode (settings.reverse > 0, path_tracer.cpp:337-349,
+367-398, 463-480): a light subpath of up to `reverse` vertices is
+generated per lane; every light vertex is splatted to the camera
+through the inverse projection (weight-0 side-effect pixels,
+src/tracer.cpp:18-26), and every eye vertex connects to every light
+vertex with an f_light * f_point * G visibility term.
 
 Differentiability: traversal outputs (hit ids, t, barycentrics) are
 integer/stop-gradient; radiance is smooth in material colors,
@@ -28,7 +37,6 @@ emission, roughness, textures, light intensity, and sky.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -41,16 +49,32 @@ from ..ops import ltc as ltc_ops
 from ..ops import sampler as smp
 from ..ops import textures as tex_ops
 from ..ops import vecmath as vm
-from ..scene.camera import pixel_rays
+from ..scene.camera import coords_from_direction, pixel_rays
 
 RAY_FAR = 10000.0  # the reference Ray's default far plane (ray.hpp:26)
 
 
 class TraceResult(NamedTuple):
-    radiance: jnp.ndarray  # f32 [R,3] per-lane radiance estimate
-    rays: jnp.ndarray      # int32 [] extension rays traced (counter
-    #                        parity: visibility rays excluded,
-    #                        path_tracer.cpp:126)
+    radiance: jnp.ndarray   # f32 [R,3] per-lane radiance estimate
+    rays: jnp.ndarray       # int32 [] extension rays traced (counter
+    #                         parity: visibility rays excluded,
+    #                         path_tracer.cpp:126)
+    splat_pix: jnp.ndarray  # int32 [R,K] target pixel (-1 = none)
+    splat_val: jnp.ndarray  # f32 [R,K,3] weight-0 splat radiance
+
+
+class ShadePoint(NamedTuple):
+    """Geometry + material data at a hit, lane-parallel."""
+    ok: jnp.ndarray       # hit & usable normal
+    pos: jnp.ndarray
+    face_n: jnp.ndarray   # interpolated vertex normal
+    light_n: jnp.ndarray  # bump-tilted shading normal
+    t_f: jnp.ndarray      # shading frame tangent
+    b_f: jnp.ndarray      # shading frame bitangent
+    vr: jnp.ndarray       # toward the previous vertex (unit)
+    uv: jnp.ndarray
+    mat_id: jnp.ndarray
+    tri: jnp.ndarray
 
 
 def _interp(attr, vidx, ba, bb, bc):
@@ -59,14 +83,131 @@ def _interp(attr, vidx, ba, bb, bc):
             + bc[..., None] * attr[vidx[..., 2]])
 
 
+def _shade_point(scene, meta, settings, hit, ro, rd) -> ShadePoint:
+    """Interpolate attributes & build the shading frame at `hit`
+    (reference GeneratePath:147-235)."""
+    tri = jnp.maximum(hit.tri, 0)
+    vidx = scene.tri_vidx[tri]
+    mat_id = scene.tri_mat[tri]
+    ba = 1.0 - hit.bary_b - hit.bary_c
+    pos = ro + rd * hit.t[..., None]
+    vr = -rd
+
+    face_n_raw = _interp(scene.normals, vidx, ba, hit.bary_b, hit.bary_c)
+    n_ok = vm.dot(face_n_raw, face_n_raw) > 0.0
+    face_n = vm.safe_normalize(face_n_raw)
+    uv = (ba[..., None] * scene.uvs[vidx[..., 0]]
+          + hit.bary_b[..., None] * scene.uvs[vidx[..., 1]]
+          + hit.bary_c[..., None] * scene.uvs[vidx[..., 2]])
+
+    light_n = face_n
+    if meta.has_textures:
+        bump_tex = scene.materials.bump_tex[mat_id]
+        has_bump = bump_tex >= 0
+        s_right, s_bottom = tex_ops.bump_slopes(
+            scene.textures, jnp.maximum(bump_tex, 0), uv)
+        tangent = _interp(scene.tangents, vidx, ba, hit.bary_b, hit.bary_c)
+        t_ok = vm.dot(tangent, tangent) >= 1e-3
+        tangent = vm.safe_normalize(tangent)
+        bitangent = vm.safe_normalize(jnp.cross(face_n, tangent))
+        tangent2 = jnp.cross(bitangent, face_n)
+        tilted = vm.safe_normalize(
+            face_n + (tangent2 * s_right[..., None]
+                      + bitangent * s_bottom[..., None])
+            * float(settings.bumpmap_scale),
+            fallback=face_n)
+        light_n = jnp.where((has_bump & t_ok)[..., None], tilted, face_n)
+
+    t_f, b_f = vm.build_onb(light_n)
+    return ShadePoint(ok=hit.valid & n_ok, pos=pos, face_n=face_n,
+                      light_n=light_n, t_f=t_f, b_f=b_f, vr=vr, uv=uv,
+                      mat_id=mat_id, tri=tri)
+
+
+def _to_local(sp: ShadePoint, v):
+    return vm.to_local(sp.light_n, sp.t_f, sp.b_f, v)
+
+
+class SubpathState(NamedTuple):
+    """Scan carry for either path direction."""
+    ro: jnp.ndarray
+    rd: jnp.ndarray
+    last_tri: jnp.ndarray
+    contribution: jnp.ndarray
+    alive: jnp.ndarray
+    ray_count: jnp.ndarray
+
+
+def _extend_path(scene, meta, settings, tables, ctx, state, bounce_idx,
+                 vertex_n, russian, tag):
+    """One path-extension step shared by eye and light subpaths.
+
+    Returns (new_state, sp, hit_valid_mask, contribution_at_vertex,
+    sky_mask).  `russian` < 0 disables roulette (the light subpath,
+    path_tracer.cpp:349).  `tag` decorrelates eye/light sample dims.
+    """
+    intersect = isect.make_intersector(meta)
+    hit = intersect(scene, state.ro, state.rd, 0.0, RAY_FAR,
+                    exclude=state.last_tri)
+    ray_count = state.ray_count + jnp.sum(state.alive.astype(jnp.int32))
+
+    sky_mask = state.alive & ~hit.valid
+    sp = _shade_point(scene, meta, settings, hit, state.ro, state.rd)
+    act = state.alive & sp.ok
+
+    # Per-bounce sample dims: fold (tag, bounce) into the seed; the
+    # scan index is traced so static dim offsets are unavailable.
+    bctx = ctx._replace(
+        seed=smp.hash_u32(ctx.seed, jnp.uint32(tag),
+                          bounce_idx + jnp.uint32(1)),
+        mode=0)
+    u2 = smp.sample_2d(bctx, smp.DIM_EYE_BOUNCE)
+    rr_u = smp.sample_1d(bctx, smp.DIM_EYE_BOUNCE + 2)
+
+    vr_local = _to_local(sp, sp.vr)
+    dir_local, transfer, may_leak = bxdf_ops.sample_bxdf(
+        scene, sp.mat_id, vr_local, sp.uv, u2, tables)
+    inside = dir_local[..., 2] < 0.0
+    dir_world = vm.to_global(sp.light_n, sp.t_f, sp.b_f, dir_local)
+
+    same_sign = (vm.dot(dir_world, sp.face_n)
+                 * vm.dot(sp.vr, sp.face_n)) > 0.0
+    leak_kill = ~same_sign & ~may_leak
+
+    no_russian = scene.materials.no_russian[sp.mat_id]
+    rus_coeff = jnp.where(
+        (~no_russian) & (russian > 0.0) & (vertex_n > 1),
+        1.0 / russian if russian > 0.0 else 1.0, 1.0)
+    new_contribution = jnp.where(
+        act[..., None],
+        state.contribution * rus_coeff[..., None] * transfer,
+        state.contribution)
+    cum_low = new_contribution.max(axis=-1) < 1e-3
+    rr_kill = (~no_russian) & (russian >= 0.0) & (rr_u > russian)
+    alive = act & ~cum_low & ~rr_kill & ~leak_kill
+
+    offset = (scene.epsilon * 10.0
+              * jnp.where(inside, -1.0, 1.0))[..., None] * sp.face_n
+    new_state = SubpathState(
+        ro=jnp.where(act[..., None], sp.pos + offset, state.ro),
+        rd=jnp.where(act[..., None], vm.safe_normalize(dir_world),
+                     state.rd),
+        last_tri=jnp.where(act, hit.tri, state.last_tri),
+        contribution=new_contribution,
+        alive=alive,
+        ray_count=ray_count,
+    )
+    return new_state, sp, act, state.contribution, sky_mask
+
+
 def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
-    """Trace one eye path per lane.  ctx: SampleCtx; px/py int32 [R]."""
+    """Trace one eye path (and optional light subpath) per lane."""
     tables = ltc_ops.load_tables()
     intersect = isect.make_intersector(meta)
     depth = int(settings.recursion_max)
+    reverse = int(settings.reverse)
     russian = float(settings.russian)
     clamp = float(settings.clamp)
-    bump_scale = float(settings.bumpmap_scale)
 
     jitter = smp.sample_2d(ctx, smp.DIM_PIXEL_JITTER)
     if cam.is_simple:
@@ -77,148 +218,159 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
 
     # One light per path (path_tracer.cpp:315-325).
     areal2 = smp.sample_2d(ctx, smp.DIM_AREAL)
-    _lightdir2 = smp.sample_2d(ctx, smp.DIM_LIGHTDIR)  # light subpath dir
+    lightdir2 = smp.sample_2d(ctx, smp.DIM_LIGHTDIR)
     choice2 = smp.sample_2d(ctx, smp.DIM_LIGHT_CHOICE)
     light1 = smp.sample_1d(ctx, smp.DIM_LIGHT_TRI)
     light = light_ops.sample_light(scene, choice2, light1, areal2)
     light = light_ops.offset_sphere_light(light, areal2)
 
     R = ro.shape[0]
+    ray_count0 = jnp.zeros((), jnp.int32)
 
-    def bounce(carry, bounce_idx):
-        ro, rd, last_tri, contribution, alive, radiance, ray_count = carry
+    # ---------------- Light subpath (reverse > 0) ----------------
+    if reverse > 0:
+        from ..ops import warps
+        emission_dir = warps.to_hemisphere_cosine_directed(
+            lightdir2, light.normal)
+        light_at_start = (light.color * light.intensity[..., None]
+                          * light.directional_factor(emission_dir)[..., None])
+        l_state = SubpathState(
+            ro=light.pos + scene.epsilon * 100.0 * light.normal,
+            rd=emission_dir,
+            last_tri=jnp.full((R,), -1, jnp.int32),
+            contribution=jnp.ones((R, 3), jnp.float32),
+            alive=jnp.ones((R,), bool) & light.valid,
+            ray_count=ray_count0,
+        )
 
-        hit = intersect(scene, ro, rd, 0.0, RAY_FAR, exclude=last_tri)
-        ray_count = ray_count + jnp.sum(alive.astype(jnp.int32))
+        def light_bounce(state, k):
+            new_state, sp, act, contrib, _sky = _extend_path(
+                scene, meta, settings, tables, ctx, state, k,
+                k + 1, -1.0, tag=2)
+            light_here = contrib * light_at_start
+            rec = dict(valid=act, pos=sp.pos, light_n=sp.light_n,
+                       t_f=sp.t_f, b_f=sp.b_f, vr=sp.vr, uv=sp.uv,
+                       mat_id=sp.mat_id, light_here=light_here)
+            return new_state, rec
 
-        # --- Sky escape (Vr = -rd convention, path_tracer.cpp:409) ---
-        sky_mask = alive & ~hit.valid
-        sky = tex_ops.sky_radiance(scene, -rd)
+        l_state, lrec = jax.lax.scan(
+            light_bounce, l_state, jnp.arange(reverse, dtype=jnp.uint32))
+        ray_count0 = l_state.ray_count
+
+        # --- Splat every light vertex to the camera
+        #     (path_tracer.cpp:367-398) ---
+        lpos = lrec["pos"]          # [K,R,3]
+        lvalid = lrec["valid"]      # [K,R]
+        campos = jnp.broadcast_to(cam.origin, lpos.shape)
+        vis_cam = isect.visibility(
+            scene, intersect,
+            lpos.reshape(-1, 3), campos.reshape(-1, 3)
+        ).reshape(lvalid.shape)
+        direction = vm.normalize(lpos - campos)  # camera -> vertex
+        f_cam = bxdf_ops.eval_bxdf(
+            scene, lrec["mat_id"].reshape(-1),
+            vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
+                        lrec["vr"]).reshape(-1, 3),
+            vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
+                        -direction).reshape(-1, 3),
+            lrec["uv"].reshape(-1, 2), tables).reshape(lpos.shape)
+        g_cam = (jnp.maximum(0.0, vm.dot(lrec["light_n"], -direction))
+                 / jnp.maximum(vm.distance2(campos, lpos), 1e-12))
+        q = lrec["light_here"] * f_cam * g_cam[..., None]
+        x2, y2, in_view = coords_from_direction(cam, direction)
+        splat_ok = (lvalid & vis_cam & in_view & (g_cam >= 1e-5)
+                    & jnp.isfinite(q).all(axis=-1))
+        pix = jnp.where(splat_ok, y2 * cam.xres + x2, -1)
+        splat_pix = pix.transpose(1, 0)                  # [R,K]
+        splat_val = jnp.where(splat_ok[..., None], q,
+                              0.0).transpose(1, 0, 2)    # [R,K,3]
+    else:
+        lrec = None
+        splat_pix = jnp.full((R, 0), -1, jnp.int32)
+        splat_val = jnp.zeros((R, 0, 3), jnp.float32)
+
+    # ---------------- Eye path ----------------
+    e_state = SubpathState(
+        ro=ro, rd=rd,
+        last_tri=jnp.full((R,), -1, jnp.int32),
+        contribution=jnp.ones((R, 3), jnp.float32),
+        alive=jnp.ones((R,), bool),
+        ray_count=ray_count0,
+    )
+    radiance0 = jnp.zeros((R, 3), jnp.float32)
+
+    def eye_bounce(carry, bounce_idx):
+        state, radiance = carry
+        new_state, sp, act, contrib, sky_mask = _extend_path(
+            scene, meta, settings, tables, ctx, state, bounce_idx,
+            bounce_idx + 1, russian, tag=1)
+
+        # Sky escape
+        sky = tex_ops.sky_radiance(scene, -state.rd)
         radiance = radiance + jnp.where(sky_mask[..., None],
-                                        contribution * sky, 0.0)
+                                        contrib * sky, 0.0)
 
-        act = alive & hit.valid
-        tri = jnp.maximum(hit.tri, 0)
-        vidx = scene.tri_vidx[tri]
-        mat_id = scene.tri_mat[tri]
-        ba = 1.0 - hit.bary_b - hit.bary_c
-        pos = ro + rd * hit.t[..., None]
-        vr = -rd
-
-        face_n_raw = _interp(scene.normals, vidx, ba, hit.bary_b, hit.bary_c)
-        n_len2 = vm.dot(face_n_raw, face_n_raw)
-        n_ok = n_len2 > 0.0  # zero/NaN normals kill the lane
-        face_n = vm.safe_normalize(face_n_raw)
-        uv = (ba[..., None] * scene.uvs[vidx[..., 0]]
-              + hit.bary_b[..., None] * scene.uvs[vidx[..., 1]]
-              + hit.bary_c[..., None] * scene.uvs[vidx[..., 2]])
-        act = act & n_ok
-
-        emission = scene.materials.emission[mat_id]
-        no_russian = scene.materials.no_russian[mat_id]
-
-        # --- Bump mapping (path_tracer.cpp:204-231) ---
-        light_n = face_n
-        if meta.has_textures:
-            bump_tex = scene.materials.bump_tex[mat_id]
-            has_bump = bump_tex >= 0
-            s_right, s_bottom = tex_ops.bump_slopes(
-                scene.textures, jnp.maximum(bump_tex, 0), uv)
-            tangent = _interp(scene.tangents, vidx, ba, hit.bary_b,
-                              hit.bary_c)
-            t_ok = vm.dot(tangent, tangent) >= 1e-3
-            tangent = vm.safe_normalize(tangent)
-            bitangent = vm.safe_normalize(jnp.cross(face_n, tangent))
-            tangent2 = jnp.cross(bitangent, face_n)
-            tilted = vm.safe_normalize(
-                face_n + (tangent2 * s_right[..., None]
-                          + bitangent * s_bottom[..., None]) * bump_scale,
-                fallback=face_n)
-            light_n = jnp.where((has_bump & t_ok)[..., None], tilted, face_n)
-
-        # --- Shading frame & BxDF sample ---
-        t_f, b_f = vm.build_onb(light_n)
-        vr_local = vm.to_local(light_n, t_f, b_f, vr)
-        # Per-bounce sample dims: the bounce index is a traced scan
-        # value, so instead of a static dim offset we fold it into the
-        # seed and use the hash sampler for bounce dims (first-bounce
-        # dims 0..10 stay low-discrepancy, which is where QMC pays).
-        bctx = ctx._replace(
-            seed=smp.hash_u32(ctx.seed, bounce_idx + jnp.uint32(1)),
-            mode=0)
-        u2 = smp.sample_2d(bctx, smp.DIM_EYE_BOUNCE)
-        rr_u = smp.sample_1d(bctx, smp.DIM_EYE_BOUNCE + 2)
-
-        dir_local, transfer, may_leak = bxdf_ops.sample_bxdf(
-            scene, mat_id, vr_local, uv, u2, tables)
-        inside = dir_local[..., 2] < 0.0
-        dir_world = vm.to_global(light_n, t_f, b_f, dir_local)
-
-        # Light-leak guard (path_tracer.cpp:251-260): shade this vertex
-        # but terminate after it.
-        same_sign = (vm.dot(dir_world, face_n) * vm.dot(vr, face_n)) > 0.0
-        leak_kill = ~same_sign & ~may_leak
-
-        # --- NEE: direct light (path_tracer.cpp:427-460) ---
-        to_light = light.pos - pos
+        # NEE: direct light (path_tracer.cpp:427-460)
+        to_light = light.pos - sp.pos
         dist2 = jnp.maximum(vm.dot(to_light, to_light), 1e-12)
         vi_l = to_light / jnp.sqrt(dist2)[..., None]
-        vis = isect.visibility(scene, intersect, light.pos, pos)
-        f = bxdf_ops.eval_bxdf(scene, mat_id,
-                               vm.to_local(light_n, t_f, b_f, vi_l),
-                               vr_local, uv, tables)
-        g = jnp.abs(vm.dot(light_n, vi_l)) / dist2
+        vis = isect.visibility(scene, intersect, light.pos, sp.pos)
+        f = bxdf_ops.eval_bxdf(scene, sp.mat_id, _to_local(sp, vi_l),
+                               _to_local(sp, sp.vr), sp.uv, tables)
+        g = jnp.abs(vm.dot(sp.light_n, vi_l)) / dist2
         inc = (light.color * light.intensity[..., None]
                * light.directional_factor(-vi_l)[..., None])
-        direct = jnp.where((vis & light.valid)[..., None],
-                           inc * f * g[..., None], 0.0)
+        total_here = jnp.where((vis & light.valid)[..., None],
+                               inc * f * g[..., None], 0.0)
 
-        # --- Emission (front side only, path_tracer.cpp:485-487) ---
-        front = vm.dot(face_n, vr) > 0.0
-        emit = jnp.where(front[..., None], emission, 0.0)
+        # BDPT connections to every light vertex
+        # (path_tracer.cpp:463-480)
+        if reverse > 0:
+            def connect(k, acc):
+                l_valid = lrec["valid"][k]
+                l_pos = lrec["pos"][k]
+                vis_c = isect.visibility(scene, intersect, l_pos, sp.pos)
+                light_to_p = vm.normalize(sp.pos - l_pos)
+                p_to_light = -light_to_p
+                f_light = bxdf_ops.eval_bxdf(
+                    scene, lrec["mat_id"][k],
+                    vm.to_local(lrec["light_n"][k], lrec["t_f"][k],
+                                lrec["b_f"][k], light_to_p),
+                    vm.to_local(lrec["light_n"][k], lrec["t_f"][k],
+                                lrec["b_f"][k], lrec["vr"][k]),
+                    lrec["uv"][k], tables)
+                f_point = bxdf_ops.eval_bxdf(
+                    scene, sp.mat_id, _to_local(sp, sp.vr),
+                    _to_local(sp, p_to_light), sp.uv, tables)
+                g_c = (jnp.abs(vm.dot(sp.light_n, p_to_light))
+                       / jnp.maximum(vm.distance2(l_pos, sp.pos), 1e-12))
+                term = (lrec["light_here"][k] * f_light * f_point
+                        * g_c[..., None])
+                return acc + jnp.where((l_valid & vis_c)[..., None],
+                                       term, 0.0)
 
-        total_here = jnp.minimum(direct + emit, clamp)
+            total_here = jax.lax.fori_loop(0, reverse, connect, total_here)
+
+        # Emission (front side only)
+        emission = scene.materials.emission[sp.mat_id]
+        front = vm.dot(sp.face_n, sp.vr) > 0.0
+        total_here = total_here + jnp.where(front[..., None], emission, 0.0)
+
+        total_here = jnp.minimum(total_here, clamp)
         radiance = radiance + jnp.where(act[..., None],
-                                        contribution * total_here, 0.0)
+                                        contrib * total_here, 0.0)
+        return (new_state, radiance), None
 
-        # --- Path continuation (path_tracer.cpp:263-295) ---
-        vertex_n = bounce_idx + 1  # 1-based vertex index
-        rus_coeff = jnp.where(
-            (~no_russian) & (russian > 0.0) & (vertex_n > 1),
-            1.0 / russian if russian > 0.0 else 1.0, 1.0)
-        new_contribution = jnp.where(
-            act[..., None],
-            contribution * rus_coeff[..., None] * transfer,
-            contribution)
-        cum_low = new_contribution.max(axis=-1) < 1e-3
-        rr_kill = (~no_russian) & (russian >= 0.0) & (rr_u > russian)
-        alive = act & ~cum_low & ~rr_kill & ~leak_kill
-
-        offset = (scene.epsilon * 10.0
-                  * jnp.where(inside, -1.0, 1.0))[..., None] * face_n
-        new_ro = jnp.where(act[..., None], pos + offset, ro)
-        new_rd = jnp.where(act[..., None], vm.safe_normalize(dir_world), rd)
-        new_last = jnp.where(act, hit.tri, last_tri)
-
-        return (new_ro, new_rd, new_last, new_contribution, alive,
-                radiance, ray_count), None
-
-    init = (
-        ro, rd,
-        jnp.full((R,), -1, jnp.int32),
-        jnp.ones((R, 3), jnp.float32),
-        jnp.ones((R,), bool),
-        jnp.zeros((R, 3), jnp.float32),
-        jnp.zeros((), jnp.int32),
-    )
-    (ro_f, rd_f, _, _, alive_f, radiance, ray_count), _ = jax.lax.scan(
-        bounce, init, jnp.arange(depth, dtype=jnp.uint32))
+    (e_state, radiance), _ = jax.lax.scan(
+        eye_bounce, (e_state, radiance0),
+        jnp.arange(depth, dtype=jnp.uint32))
 
     # Final clamp + NaN/negative scrub (path_tracer.cpp:502-507).
     radiance = jnp.minimum(radiance, clamp)
     radiance = jnp.where(jnp.isnan(radiance) | (radiance < 0.0), 0.0,
                          radiance)
-    return TraceResult(radiance=radiance, rays=ray_count)
+    return TraceResult(radiance=radiance, rays=e_state.ray_count,
+                       splat_pix=splat_pix, splat_val=splat_val)
 
 
 def render_lanes(scene, meta, settings, cam, px, py, sample_idx, seed,
@@ -239,6 +391,7 @@ def render_image_round(scene, meta, settings, cam, round_idx: int,
     device.  Returns (radiance_sum [H,W,3], counts [H,W], rays int).
 
     Intended for small/medium images; the driver chunks larger frames.
+    Splats (weight-0 side effects) are scattered into the sum.
     """
     xres, yres = cam.xres, cam.yres
     ms = int(settings.multisample)
@@ -247,11 +400,18 @@ def render_image_round(scene, meta, settings, cam, round_idx: int,
     px = jnp.tile(xx.reshape(-1), ms)
     py = jnp.tile(yy.reshape(-1), ms)
     s_local = jnp.repeat(jnp.arange(ms, dtype=jnp.uint32), xres * yres)
-    # Round-unique global sample index drives progressive refinement.
     sample_idx = s_local + jnp.uint32(round_idx * ms)
 
     result = render_lanes(scene, meta, settings, cam, px, py, sample_idx,
                           seed, sampler_mode)
     rad = result.radiance.reshape(ms, yres, xres, 3).sum(axis=0)
+    if result.splat_pix.shape[1] > 0:
+        flat = jnp.zeros((yres * xres, 3), jnp.float32)
+        pix = result.splat_pix.reshape(-1)
+        val = result.splat_val.reshape(-1, 3)
+        good = pix >= 0
+        flat = flat.at[jnp.where(good, pix, 0)].add(
+            jnp.where(good[..., None], val, 0.0))
+        rad = rad + flat.reshape(yres, xres, 3)
     counts = jnp.full((yres, xres), ms, jnp.float32)
     return rad, counts, result.rays

@@ -45,14 +45,20 @@ KIND_GGX = 1
 
 
 @lru_cache(maxsize=1)
-def load_tables() -> LTCTables:
+def _load_tables_np():
     path = os.path.join(os.path.dirname(__file__), "..", "data",
                         "ltc_tables.npz")
     d = np.load(os.path.abspath(path))
-    m = np.stack([d["beckmann_m"], d["ggx_m"]])
-    amp = np.stack([d["beckmann_amp"], d["ggx_amp"]])
-    return LTCTables(m=jnp.asarray(m, jnp.float32),
-                     amp=jnp.asarray(amp, jnp.float32))
+    m = np.stack([d["beckmann_m"], d["ggx_m"]]).astype(np.float32)
+    amp = np.stack([d["beckmann_amp"], d["ggx_amp"]]).astype(np.float32)
+    return m, amp
+
+
+def load_tables() -> LTCTables:
+    # Cache numpy (trace-safe) and convert per call: under jit the
+    # conversion becomes a hoisted constant, never a leaked tracer.
+    m, amp = _load_tables_np()
+    return LTCTables(m=jnp.asarray(m), amp=jnp.asarray(amp))
 
 
 def fetch_bilinear(tables: LTCTables, kind, theta, alpha):

@@ -1,0 +1,74 @@
+"""Multi-device SPMD rendering over a 1-D jax.sharding.Mesh.
+
+The scaling design (SURVEY §2.7/§5): ray wavefront lanes are sharded
+over all chips (`P("d")`); the scene — triangle soup, BVH, materials,
+texture atlas, LTC tables, light tables — is replicated per device and
+resident in HBM.  With lanes embarrassingly parallel, the only
+cross-device communication in the forward render is the scalar ray-
+counter reduction; XLA inserts the psum.  (Light-tracing splats — the
+one cross-device scatter — are reduced per round via psum over the
+device-local splat images; see integrator/bdpt.py.)
+
+Multi-host extends the same mesh over `jax.distributed.initialize`:
+each host feeds its local shard of lanes; `process_allgather` collects
+pixel sums at round end (driver).  Sample values depend only on
+(seed, pixel, sample), never on lane placement, so a given mesh shape
+is bitwise deterministic run-to-run, and different mesh shapes agree
+to float32 rounding (XLA codegen may fuse differently per shard size).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..integrator.path import render_lanes
+
+
+class MeshContext:
+    """A 1-D device mesh + sharded render function factory."""
+
+    def __init__(self, n_devices: int = 0, devices=None):
+        if devices is None:
+            devices = jax.devices()
+        if n_devices and n_devices > 0:
+            devices = devices[:n_devices]
+        self.devices = devices
+        self.n = len(devices)
+        self.mesh = Mesh(np.asarray(devices), ("d",))
+        self.lane_sharding = NamedSharding(self.mesh, P("d"))
+        self.replicated = NamedSharding(self.mesh, P())
+
+    def shard_scene(self, scene):
+        """Replicate the committed scene across the mesh once."""
+        return jax.device_put(
+            scene, jax.tree_util.tree_map(lambda _: self.replicated,
+                                          scene))
+
+    def make_render_fn(self, meta, settings, sampler_mode: int = 1):
+        """Jitted lane renderer with lanes sharded over the mesh.
+
+        Lane-count inputs must be divisible by the mesh size (the
+        driver pads its blocks to a multiple of `self.n`).
+        """
+        f = partial(render_lanes, meta=meta, settings=settings,
+                    sampler_mode=sampler_mode)
+
+        lane = self.lane_sharding
+        repl = self.replicated
+
+        @partial(jax.jit, static_argnames=())
+        def sharded(scene, cam, px, py, sample_idx, seed):
+            px = jax.lax.with_sharding_constraint(px, lane)
+            py = jax.lax.with_sharding_constraint(py, lane)
+            sample_idx = jax.lax.with_sharding_constraint(sample_idx, lane)
+            return f(scene=scene, cam=cam, px=px, py=py,
+                     sample_idx=sample_idx, seed=seed)
+
+        def run(scene, cam, px, py, sample_idx, seed):
+            return sharded(scene, cam, px, py, sample_idx, seed)
+
+        return run

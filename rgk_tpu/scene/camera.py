@@ -11,16 +11,22 @@ contributions (camera.cpp GetCoordsFromDirection).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from dataclasses import dataclass, fields
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import vecmath as vm
 from ..ops import warps
 
+_ARRAY_FIELDS = ("origin", "viewscreen", "viewscreen_x", "viewscreen_y",
+                 "cameraleft", "cameraup", "direction", "lens_size")
 
-class Camera(NamedTuple):
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class Camera:
     origin: jnp.ndarray        # [3]
     viewscreen: jnp.ndarray    # [3] corner of the view rectangle
     viewscreen_x: jnp.ndarray  # [3] full-width edge vector (image +x)
@@ -29,12 +35,20 @@ class Camera(NamedTuple):
     cameraup: jnp.ndarray      # [3] lens-plane basis
     direction: jnp.ndarray     # [3] forward
     lens_size: jnp.ndarray     # [] scalar; 0 => pinhole
-    xres: int
-    yres: int
+    # Static aux data (not traced): resolution and the pinhole flag
+    # decide code structure, so they must be concrete under jit.
+    xres: int = 0
+    yres: int = 0
+    is_simple: bool = True
 
-    @property
-    def is_simple(self) -> bool:
-        return float(self.lens_size) == 0.0
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in _ARRAY_FIELDS)
+        aux = (self.xres, self.yres, self.is_simple)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, xres=aux[0], yres=aux[1], is_simple=aux[2])
 
 
 def make_camera(position, lookat, up, yview: float, xview: float,
@@ -69,6 +83,7 @@ def make_camera(position, lookat, up, yview: float, xview: float,
         lens_size=f32(lens_size),
         xres=int(xres),
         yres=int(yres),
+        is_simple=(float(lens_size) == 0.0),
     )
 
 
