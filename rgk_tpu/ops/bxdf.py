@@ -53,7 +53,8 @@ def _fresnel_dielectric(eta, cos_theta):
     cos_theta = jnp.abs(cos_theta)
     sin_t_sq = eta * eta * (1.0 - cos_theta * cos_theta)
     tir = sin_t_sq > 1.0
-    cos_trans = jnp.sqrt(jnp.maximum(1.0 - sin_t_sq, 0.0))
+    # max(., 1e-12) keeps sqrt's gradient finite at grazing TIR.
+    cos_trans = jnp.sqrt(jnp.maximum(1.0 - sin_t_sq, 1e-12))
     rs = (eta * cos_theta - cos_trans) / jnp.maximum(
         eta * cos_theta + cos_trans, 1e-12)
     rp = (eta * cos_trans - cos_theta) / jnp.maximum(

@@ -146,17 +146,24 @@ def _frame_rotate(v_frame, v):
     return jnp.stack([x, y, v[..., 2]], axis=-1)
 
 
+def _safe_arccos(z):
+    # arccos has infinite slope at |z| = 1; clamp strictly inside so
+    # gradients stay finite (forward error < 1.5e-3 rad, below the
+    # 64-bin table resolution).
+    return jnp.arccos(jnp.clip(z, -1.0 + 1e-6, 1.0 - 1e-6))
+
+
 def pdf(tables: LTCTables, kind, v_frame, v_eval, alpha):
     """LTC BRDF value: frame around `v_frame`, evaluated at `v_eval`
     (both local, +Z normal).  NOTE call-site convention: the reference
     BxDFLTC::value builds the frame around the *outgoing* vector and
     evaluates the *incoming* one (src/bxdf/bxdf.hpp:110-114)."""
-    theta = jnp.arccos(jnp.clip(v_frame[..., 2], -1.0, 1.0))
+    theta = _safe_arccos(v_frame[..., 2])
     M, amp = fetch_bilinear(tables, kind, theta, alpha)
     vr3 = _frame_unrotate(v_frame, v_eval)
     det = _det3(M)
     q = _matvec(_inv3(M, det), vr3)
-    p = vm.normalize(q)
+    p = vm.safe_normalize(q)
     L = _matvec(M, p)
     l2 = jnp.sum(L * L, axis=-1)
     l3 = l2 * jnp.sqrt(jnp.maximum(l2, 1e-30))
@@ -169,10 +176,10 @@ def sample(tables: LTCTables, kind, v_in, alpha, rand_hscos):
     """Sample an outgoing direction: M @ cosine-hemisphere vector,
     z clamped, rotated into the frame around `v_in`; theta floored at
     pi/4 for the table fetch (ltc.cpp GetRandom:123)."""
-    theta = jnp.arccos(jnp.clip(v_in[..., 2], -1.0, 1.0))
+    theta = _safe_arccos(v_in[..., 2])
     theta = jnp.maximum(theta, jnp.pi / 4.0)
     M, _ = fetch_bilinear(tables, kind, theta, alpha)
     s = _matvec(M, rand_hscos)
     s = s.at[..., 2].set(jnp.maximum(s[..., 2], 1e-4))
     s = _frame_rotate(v_in, s)
-    return vm.normalize(s)
+    return vm.safe_normalize(s)

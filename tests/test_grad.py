@@ -1,0 +1,127 @@
+"""Gradient correctness: VJP through the renderer vs central finite
+differences (BASELINE.json: "pixel-grad allclose").
+
+With a fixed seed and russian roulette off, no sampling decision
+depends on parameters, so the rendered image is piecewise-smooth in
+them and finite differences converge to the analytic gradient.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgk_tpu.diff.params import apply_params, extract_params, make_loss_fn
+from rgk_tpu.scene.config import build_scene, load_config
+
+
+@pytest.fixture(scope="module")
+def grad_setup(tmp_path_factory):
+    cfg_d = {
+        "output-file": "t.exr", "output-width": 8, "output-height": 8,
+        "multisample": 4, "recursion-max": 2, "russian": -1.0,
+        "camera": {"position": [0, 1.5, 1.5], "lookat": [0, 0, 0],
+                   "fov": 50},
+        "sky": {"color": [0.3, 0.3, 0.4], "intensity": 1.0},
+        "materials": [
+            {"name": "floor", "brdf": "diffuse",
+             "diffuse": [0.6, 0.4, 0.3]},
+            {"name": "glow", "brdf": "diffuse", "diffuse": [0.2, 0.2, 0.2],
+             "emission": [1.0, 0.8, 0.6]},
+            {"name": "shiny", "brdf": "ltc_ggx_diffuse",
+             "roughness": 0.35, "specular": [0.4, 0.4, 0.4],
+             "diffuse": [0.2, 0.3, 0.2]},
+        ],
+        "scene": [
+            {"primitive": "plane", "axis": "Y", "scale": [4, 1, 4],
+             "material": "floor"},
+            {"primitive": "cube", "translate": [-0.4, 0.25, 0],
+             "scale": [0.5, 0.5, 0.5], "material": "shiny"},
+            {"primitive": "tri", "translate": [0.5, 0.8, 0],
+             "rotate": [0, 0, 180], "scale": [0.3, 1, 0.3],
+             "material": "glow"},
+        ],
+        "lights": [{"position": [1, 2, 1], "color": [1, 0.9, 0.8],
+                    "intensity": 2.0}],
+    }
+    p = tmp_path_factory.mktemp("grad") / "scene.json"
+    p.write_text(json.dumps(cfg_d))
+    cfg = load_config(str(p))
+    arrays, meta, _ = build_scene(cfg, build_bvh=False)
+    cam = cfg.get_camera()
+
+    n = 64
+    px = jnp.asarray(np.arange(n) % 8, jnp.int32)
+    py = jnp.asarray((np.arange(n) // 8) % 8, jnp.int32)
+    si = jnp.zeros((n,), jnp.uint32)
+    target = jnp.zeros((n, 3), jnp.float32)
+    loss_fn = make_loss_fn(arrays, meta, cfg.settings, cam, px, py, si,
+                           jnp.uint32(3), target)
+    params = extract_params(arrays)
+    return loss_fn, params
+
+
+def _fd_check(loss_fn, params, key, idx, eps, rtol):
+    g = jax.grad(lambda p: loss_fn(p))(params)
+    g_val = float(np.asarray(g[key]).reshape(-1)[idx])
+
+    flat = np.asarray(params[key], np.float64).reshape(-1).copy()
+
+    def loss_at(v):
+        p2 = dict(params)
+        arr = flat.copy()
+        arr[idx] = v
+        p2[key] = jnp.asarray(arr.reshape(params[key].shape), jnp.float32)
+        return float(loss_fn(p2))
+
+    v0 = flat[idx]
+    fd = (loss_at(v0 + eps) - loss_at(v0 - eps)) / (2 * eps)
+    assert np.isfinite(g_val)
+    if abs(fd) < 1e-7 and abs(g_val) < 1e-7:
+        return
+    assert abs(g_val - fd) <= rtol * max(abs(fd), abs(g_val)) + 1e-6, (
+        key, idx, g_val, fd)
+
+
+def test_grad_diffuse_albedo(grad_setup):
+    loss_fn, params = grad_setup
+    _fd_check(loss_fn, params, "mat_diffuse", 0, 1e-3, 0.03)
+
+
+def test_grad_emission(grad_setup):
+    loss_fn, params = grad_setup
+    # material 1 ("glow"), red channel -> flat index 3
+    _fd_check(loss_fn, params, "mat_emission", 3, 1e-3, 0.03)
+
+
+def test_grad_light_intensity(grad_setup):
+    loss_fn, params = grad_setup
+    _fd_check(loss_fn, params, "light_intensity", 0, 1e-3, 0.03)
+
+
+def test_grad_sky(grad_setup):
+    loss_fn, params = grad_setup
+    _fd_check(loss_fn, params, "sky_intensity", 0, 1e-3, 0.03)
+
+
+def test_grad_roughness(grad_setup):
+    loss_fn, params = grad_setup
+    # LTC interpolation is piecewise multilinear; stay inside a cell.
+    _fd_check(loss_fn, params, "mat_roughness", 2, 2e-4, 0.08)
+
+
+def test_grad_specular(grad_setup):
+    loss_fn, params = grad_setup
+    _fd_check(loss_fn, params, "mat_specular", 6, 1e-3, 0.05)
+
+
+def test_optimization_step_reduces_loss(grad_setup):
+    """One gradient-descent step on all params must reduce the loss."""
+    loss_fn, params = grad_setup
+    l0, g = jax.value_and_grad(loss_fn)(params)
+    lr = 0.05
+    params2 = jax.tree_util.tree_map(lambda p, gg: p - lr * gg, params, g)
+    l1 = float(loss_fn(params2))
+    assert l1 < float(l0)
