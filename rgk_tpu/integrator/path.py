@@ -74,39 +74,44 @@ class ShadePoint(NamedTuple):
     vr: jnp.ndarray       # toward the previous vertex (unit)
     uv: jnp.ndarray
     mat_id: jnp.ndarray
+    mat_row: jnp.ndarray  # prefetched material pack row [.,20]
     tri: jnp.ndarray
 
 
-def _interp(attr, vidx, ba, bb, bc):
-    return (ba[..., None] * attr[vidx[..., 0]]
-            + bb[..., None] * attr[vidx[..., 1]]
-            + bc[..., None] * attr[vidx[..., 2]])
-
-
-def _shade_point(scene, meta, settings, hit, ro, rd) -> ShadePoint:
+def _shade_point(scene, meta, settings, hit, ro, rd, mat_pack) -> ShadePoint:
     """Interpolate attributes & build the shading frame at `hit`
     (reference GeneratePath:147-235)."""
+    # Barrier computed indices before each gather chain (vm.take):
+    # fused index producers knock TPU gathers off the fast path.
     tri = jnp.maximum(hit.tri, 0)
-    vidx = scene.tri_vidx[tri]
-    mat_id = scene.tri_mat[tri]
+    meta_row = vm.take_rows(scene.tri_meta, tri)
+    mat_id = meta_row[..., 3]
+    mat_row = vm.take_rows(mat_pack, mat_id)
+    # One de-indexed row gather brings all 3 vertices' normals, uvs
+    # and tangents (tri_shade layout, scene/arrays.py).
+    srow = vm.take_rows(scene.tri_shade, tri)
     ba = 1.0 - hit.bary_b - hit.bary_c
     pos = ro + rd * hit.t[..., None]
     vr = -rd
 
-    face_n_raw = _interp(scene.normals, vidx, ba, hit.bary_b, hit.bary_c)
+    wa = ba[..., None]
+    wb = hit.bary_b[..., None]
+    wc = hit.bary_c[..., None]
+    face_n_raw = (wa * srow[..., 0:3] + wb * srow[..., 3:6]
+                  + wc * srow[..., 6:9])
     n_ok = vm.dot(face_n_raw, face_n_raw) > 0.0
     face_n = vm.safe_normalize(face_n_raw)
-    uv = (ba[..., None] * scene.uvs[vidx[..., 0]]
-          + hit.bary_b[..., None] * scene.uvs[vidx[..., 1]]
-          + hit.bary_c[..., None] * scene.uvs[vidx[..., 2]])
+    uv = (wa * srow[..., 9:11] + wb * srow[..., 11:13]
+          + wc * srow[..., 13:15])
 
     light_n = face_n
     if meta.has_textures:
-        bump_tex = scene.materials.bump_tex[mat_id]
+        bump_tex = mat_row[..., 17].astype(jnp.int32)
         has_bump = bump_tex >= 0
         s_right, s_bottom = tex_ops.bump_slopes(
             scene.textures, jnp.maximum(bump_tex, 0), uv)
-        tangent = _interp(scene.tangents, vidx, ba, hit.bary_b, hit.bary_c)
+        tangent = (wa * srow[..., 15:18] + wb * srow[..., 18:21]
+                   + wc * srow[..., 21:24])
         t_ok = vm.dot(tangent, tangent) >= 1e-3
         tangent = vm.safe_normalize(tangent)
         bitangent = vm.safe_normalize(jnp.cross(face_n, tangent))
@@ -121,7 +126,7 @@ def _shade_point(scene, meta, settings, hit, ro, rd) -> ShadePoint:
     t_f, b_f = vm.build_onb(light_n)
     return ShadePoint(ok=hit.valid & n_ok, pos=pos, face_n=face_n,
                       light_n=light_n, t_f=t_f, b_f=b_f, vr=vr, uv=uv,
-                      mat_id=mat_id, tri=tri)
+                      mat_id=mat_id, mat_row=mat_row, tri=tri)
 
 
 def _to_local(sp: ShadePoint, v):
@@ -138,8 +143,8 @@ class SubpathState(NamedTuple):
     ray_count: jnp.ndarray
 
 
-def _extend_path(scene, meta, settings, tables, ctx, state, bounce_idx,
-                 vertex_n, russian, tag):
+def _extend_path(scene, meta, settings, tables, mat_pack, ctx, state,
+                 bounce_idx, vertex_n, russian, tag):
     """One path-extension step shared by eye and light subpaths.
 
     Returns (new_state, sp, hit_valid_mask, contribution_at_vertex,
@@ -152,7 +157,8 @@ def _extend_path(scene, meta, settings, tables, ctx, state, bounce_idx,
     ray_count = state.ray_count + jnp.sum(state.alive.astype(jnp.int32))
 
     sky_mask = state.alive & ~hit.valid
-    sp = _shade_point(scene, meta, settings, hit, state.ro, state.rd)
+    sp = _shade_point(scene, meta, settings, hit, state.ro, state.rd,
+                      mat_pack)
     act = state.alive & sp.ok
 
     # Per-bounce sample dims: fold (tag, bounce) into the seed; the
@@ -165,8 +171,11 @@ def _extend_path(scene, meta, settings, tables, ctx, state, bounce_idx,
     rr_u = smp.sample_1d(bctx, smp.DIM_EYE_BOUNCE + 2)
 
     vr_local = _to_local(sp, sp.vr)
+    p0 = bxdf_ops.MatParams(scene, mat_pack, sp.mat_id, sp.uv,
+                            row=sp.mat_row)
     dir_local, transfer, may_leak = bxdf_ops.sample_bxdf(
-        scene, sp.mat_id, vr_local, sp.uv, u2, tables)
+        scene, mat_pack, sp.mat_id, vr_local, sp.uv, u2, tables,
+        has_mix=meta.has_mix, has_ltc=meta.has_ltc, p0=p0)
     inside = dir_local[..., 2] < 0.0
     dir_world = vm.to_global(sp.light_n, sp.t_f, sp.b_f, dir_local)
 
@@ -174,7 +183,7 @@ def _extend_path(scene, meta, settings, tables, ctx, state, bounce_idx,
                  * vm.dot(sp.vr, sp.face_n)) > 0.0
     leak_kill = ~same_sign & ~may_leak
 
-    no_russian = scene.materials.no_russian[sp.mat_id]
+    no_russian = sp.mat_row[..., 18] > 0.5
     rus_coeff = jnp.where(
         (~no_russian) & (russian > 0.0) & (vertex_n > 1),
         1.0 / russian if russian > 0.0 else 1.0, 1.0)
@@ -197,12 +206,16 @@ def _extend_path(scene, meta, settings, tables, ctx, state, bounce_idx,
         alive=alive,
         ray_count=ray_count,
     )
-    return new_state, sp, act, state.contribution, sky_mask
+    return new_state, sp, p0, act, state.contribution, sky_mask
 
 
 def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
     """Trace one eye path (and optional light subpath) per lane."""
-    tables = ltc_ops.load_tables()
+    # Tables ride in the scene pytree (traced args — constants hit an
+    # XLA gather slow path) and material scalars are packed into one
+    # row table so all per-lane material reads are single row-gathers.
+    tables = ltc_ops.LTCTables(rows=scene.ltc_rows)
+    mat_pack = bxdf_ops.build_mat_pack(scene.materials)
     intersect = isect.make_intersector(meta)
     depth = int(settings.recursion_max)
     reverse = int(settings.reverse)
@@ -244,8 +257,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
         )
 
         def light_bounce(state, k):
-            new_state, sp, act, contrib, _sky = _extend_path(
-                scene, meta, settings, tables, ctx, state, k,
+            new_state, sp, p0, act, contrib, _sky = _extend_path(
+                scene, meta, settings, tables, mat_pack, ctx, state, k,
                 k + 1, -1.0, tag=2)
             light_here = contrib * light_at_start
             rec = dict(valid=act, pos=sp.pos, light_n=sp.light_n,
@@ -268,7 +281,7 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
         ).reshape(lvalid.shape)
         direction = vm.normalize(lpos - campos)  # camera -> vertex
         f_cam = bxdf_ops.eval_bxdf(
-            scene, lrec["mat_id"].reshape(-1),
+            scene, mat_pack, lrec["mat_id"].reshape(-1),
             vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
                         lrec["vr"]).reshape(-1, 3),
             vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
@@ -301,8 +314,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
 
     def eye_bounce(carry, bounce_idx):
         state, radiance = carry
-        new_state, sp, act, contrib, sky_mask = _extend_path(
-            scene, meta, settings, tables, ctx, state, bounce_idx,
+        new_state, sp, p0, act, contrib, sky_mask = _extend_path(
+            scene, meta, settings, tables, mat_pack, ctx, state, bounce_idx,
             bounce_idx + 1, russian, tag=1)
 
         # Sky escape
@@ -315,8 +328,11 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
         dist2 = jnp.maximum(vm.dot(to_light, to_light), 1e-12)
         vi_l = to_light / jnp.sqrt(dist2)[..., None]
         vis = isect.visibility(scene, intersect, light.pos, sp.pos)
-        f = bxdf_ops.eval_bxdf(scene, sp.mat_id, _to_local(sp, vi_l),
-                               _to_local(sp, sp.vr), sp.uv, tables)
+        f = bxdf_ops.eval_bxdf(scene, mat_pack, sp.mat_id,
+                               _to_local(sp, vi_l),
+                               _to_local(sp, sp.vr), sp.uv, tables,
+                               has_mix=meta.has_mix,
+                               has_ltc=meta.has_ltc, p0=p0)
         g = jnp.abs(vm.dot(sp.light_n, vi_l)) / dist2
         inc = (light.color * light.intensity[..., None]
                * light.directional_factor(-vi_l)[..., None])
@@ -333,15 +349,16 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
                 light_to_p = vm.normalize(sp.pos - l_pos)
                 p_to_light = -light_to_p
                 f_light = bxdf_ops.eval_bxdf(
-                    scene, lrec["mat_id"][k],
+                    scene, mat_pack, lrec["mat_id"][k],
                     vm.to_local(lrec["light_n"][k], lrec["t_f"][k],
                                 lrec["b_f"][k], light_to_p),
                     vm.to_local(lrec["light_n"][k], lrec["t_f"][k],
                                 lrec["b_f"][k], lrec["vr"][k]),
                     lrec["uv"][k], tables)
                 f_point = bxdf_ops.eval_bxdf(
-                    scene, sp.mat_id, _to_local(sp, sp.vr),
-                    _to_local(sp, p_to_light), sp.uv, tables)
+                    scene, mat_pack, sp.mat_id, _to_local(sp, sp.vr),
+                    _to_local(sp, p_to_light), sp.uv, tables,
+                    has_mix=meta.has_mix, has_ltc=meta.has_ltc, p0=p0)
                 g_c = (jnp.abs(vm.dot(sp.light_n, p_to_light))
                        / jnp.maximum(vm.distance2(l_pos, sp.pos), 1e-12))
                 term = (lrec["light_here"][k] * f_light * f_point
@@ -351,8 +368,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
 
             total_here = jax.lax.fori_loop(0, reverse, connect, total_here)
 
-        # Emission (front side only)
-        emission = scene.materials.emission[sp.mat_id]
+        # Emission (front side only) — from the packed row table
+        emission = sp.mat_row[..., 0:3]
         front = vm.dot(sp.face_n, sp.vr) > 0.0
         total_here = total_here + jnp.where(front[..., None], emission, 0.0)
 
@@ -410,7 +427,8 @@ def render_image_round(scene, meta, settings, cam, round_idx: int,
         pix = result.splat_pix.reshape(-1)
         val = result.splat_val.reshape(-1, 3)
         good = pix >= 0
-        flat = flat.at[jnp.where(good, pix, 0)].add(
+        scatter_idx = jax.lax.optimization_barrier(jnp.where(good, pix, 0))
+        flat = flat.at[scatter_idx].add(
             jnp.where(good[..., None], val, 0.0))
         rad = rad + flat.reshape(yres, xres, 3)
     counts = jnp.full((yres, xres), ms, jnp.float32)

@@ -67,18 +67,53 @@ def _resolve(scene, tex_id, solid, uv):
     return tex_ops.resolve_color(scene.textures, tex_id, solid, uv)
 
 
-class MatParams:
-    """Per-lane gathered material parameters."""
+# Column layout of the in-trace material row pack (f32 [NM, 20]).
+# One 2-D row table instead of 14 separate 1-D tables: TPU gathers
+# rows of 2-D tables fast, 1-D scalar tables slowly; building the
+# pack from MaterialTable *inside the trace* keeps gradients flowing
+# to the parameter leaves.
+MAT_PACK_COLS = 20
 
-    def __init__(self, scene, mat_id, uv):
-        m = scene.materials
-        self.bxdf_type = m.bxdf_type[mat_id]
-        self.diffuse = _resolve(scene, m.diffuse_tex[mat_id],
-                                m.diffuse[mat_id], uv)
-        self.specular = _resolve(scene, m.specular_tex[mat_id],
-                                 m.specular[mat_id], uv)
-        self.roughness = m.roughness[mat_id]
-        self.ior = m.ior[mat_id]
+
+def build_mat_pack(materials):
+    import jax
+
+    m = materials
+    f = lambda x: x.astype(jnp.float32)
+    pack = jnp.concatenate([
+        f(m.emission), f(m.diffuse), f(m.specular),
+        f(m.roughness)[:, None], f(m.ior)[:, None],
+        f(m.mix_amt)[:, None], f(m.bxdf_type)[:, None],
+        f(m.mix_m1)[:, None], f(m.mix_m2)[:, None],
+        f(m.diffuse_tex)[:, None], f(m.specular_tex)[:, None],
+        f(m.bump_tex)[:, None], f(m.no_russian)[:, None],
+        f(m.is_thinglass)[:, None],
+    ], axis=1)
+    return jax.lax.optimization_barrier(pack)
+
+
+class MatParams:
+    """Per-lane gathered material parameters (one row-gather).
+
+    Pass a prefetched `row` to reuse a gather already paid for this
+    bounce — row-gather kernels dominate TPU shading cost."""
+
+    def __init__(self, scene, mat_pack, mat_id, uv, row=None):
+        if row is None:
+            row = vm.take_rows(mat_pack, mat_id)
+        self.emission = row[..., 0:3]
+        self.bxdf_type = row[..., 12].astype(jnp.int32)
+        self.diffuse = _resolve(scene, row[..., 15].astype(jnp.int32),
+                                row[..., 3:6], uv)
+        self.specular = _resolve(scene, row[..., 16].astype(jnp.int32),
+                                 row[..., 6:9], uv)
+        self.roughness = row[..., 9]
+        self.ior = row[..., 10]
+        self.mix_amt = row[..., 11]
+        self.mix_m1 = row[..., 13].astype(jnp.int32)
+        self.mix_m2 = row[..., 14].astype(jnp.int32)
+        self.bump_tex = row[..., 17].astype(jnp.int32)
+        self.no_russian = row[..., 18] > 0.5
         # LTC table kind: even enum values are Beckmann, odd GGX
         self.ltc_kind = jnp.where(
             (self.bxdf_type == BSDF_LTC_GGX)
@@ -86,7 +121,7 @@ class MatParams:
             ltc_ops.KIND_GGX, ltc_ops.KIND_BECKMANN)
 
 
-def _eval_base(scene, tables, p: MatParams, vi, vr):
+def _eval_base(scene, tables, p: MatParams, vi, vr, has_ltc=True):
     """All-lobes eval, selected by type.  vi/vr: local [...,3]."""
     viz = vi[..., 2]
     vrz = vr[..., 2]
@@ -118,7 +153,10 @@ def _eval_base(scene, tables, p: MatParams, vi, vr):
                   (1.0 - r_p)[..., None] * p.specular, 0.0))
 
     # LTC: frame around outgoing vr, evaluated at vi (bxdf.hpp:110-114)
-    ltc_val = ltc_ops.pdf(tables, p.ltc_kind, vr, vi, p.roughness)
+    if has_ltc:
+        ltc_val = ltc_ops.pdf(tables, p.ltc_kind, vr, vi, p.roughness)
+    else:
+        ltc_val = jnp.zeros_like(p.roughness)
     f_ltc = jnp.where(both_up[..., None],
                       p.specular * ltc_val[..., None], 0.0)
     f_ltc_diffuse = jnp.where(
@@ -137,24 +175,31 @@ def _eval_base(scene, tables, p: MatParams, vi, vr):
     return out
 
 
-def eval_bxdf(scene, mat_id, vi, vr, uv, tables=None):
-    """BRDF value f(Vi, Vr) for lanes; handles one-level mixes."""
-    if tables is None:
-        tables = ltc_ops.load_tables()
-    m = scene.materials
-    p = MatParams(scene, mat_id, uv)
-    base = _eval_base(scene, tables, p, vi, vr)
+def eval_bxdf(scene, mat_pack, mat_id, vi, vr, uv, tables,
+              has_mix=True, has_ltc=True, p0=None):
+    """BRDF value f(Vi, Vr) for lanes; handles one-level mixes.
 
-    is_mix = m.bxdf_type[mat_id] == BSDF_MIX
-    m1 = m.mix_m1[mat_id]
-    m2 = m.mix_m2[mat_id]
-    amt = m.mix_amt[mat_id][..., None]
-    f1 = _eval_base(scene, tables, MatParams(scene, m1, uv), vi, vr)
-    f2 = _eval_base(scene, tables, MatParams(scene, m2, uv), vi, vr)
+    has_mix/has_ltc are *static* scene facts (SceneMeta) — scenes
+    without those material classes drop the extra eval passes and LTC
+    fetches at trace time.  `p0` reuses a prefetched MatParams.
+    """
+    p = p0 if p0 is not None else MatParams(scene, mat_pack, mat_id, uv)
+    base = _eval_base(scene, tables, p, vi, vr, has_ltc)
+    if not has_mix:
+        return base
+
+    is_mix = p.bxdf_type == BSDF_MIX
+    amt = p.mix_amt[..., None]
+    f1 = _eval_base(scene, tables,
+                    MatParams(scene, mat_pack, p.mix_m1, uv), vi, vr,
+                    has_ltc)
+    f2 = _eval_base(scene, tables,
+                    MatParams(scene, mat_pack, p.mix_m2, uv), vi, vr,
+                    has_ltc)
     return jnp.where(is_mix[..., None], f1 * amt + f2 * (1.0 - amt), base)
 
 
-def _sample_base(scene, tables, p: MatParams, vi, u2):
+def _sample_base(scene, tables, p: MatParams, vi, u2, has_ltc=True):
     """All-lobes sample, selected by type.
     Returns (dir, throughput, may_leak)."""
     viz = vi[..., 2]
@@ -184,12 +229,7 @@ def _sample_base(scene, tables, p: MatParams, vi, u2):
     d_dielectric = jnp.where(take_refl[..., None], d_mirror, d_refr)
     leak_dielectric = ~take_refl
 
-    # LTC specular lobe
-    d_ltc = ltc_ops.sample(tables, p.ltc_kind, vi, p.roughness, cos_dir)
-    ltc_ok = d_ltc[..., 2] > 0.0
-    t_ltc = jnp.where(ltc_ok[..., None], p.specular, 0.0)
-
-    # LTC + diffuse: lobe choice by relative albedo power
+    # LTC + diffuse lobe choice by relative albedo power
     # (bxdf.hpp BxDFLTCDiffuse::sample:137-158)
     dpow = p.diffuse.sum(axis=-1)
     spow = p.specular.sum(axis=-1)
@@ -197,7 +237,22 @@ def _sample_base(scene, tables, p: MatParams, vi, u2):
     take_diff, sx = warps.decide_and_rescale(u2[..., 0], p_diff)
     u2_rescaled = jnp.stack([sx, u2[..., 1]], axis=-1)
     cos_dir_r = warps.to_hemisphere_cosine_z(u2_rescaled)
-    d_ltc_r = ltc_ops.sample(tables, p.ltc_kind, vi, p.roughness, cos_dir_r)
+
+    # One LTC transform serves both lobes: pure-LTC lanes feed the
+    # raw cosine vector, LTC+diffuse lanes the rescaled one.
+    tt0 = p.bxdf_type
+    is_ltcd0 = ((tt0 == BSDF_LTC_BECKMANN_DIFFUSE)
+                | (tt0 == BSDF_LTC_GGX_DIFFUSE))
+    if has_ltc:
+        cos_sel = jnp.where(is_ltcd0[..., None], cos_dir_r, cos_dir)
+        d_ltc_all = ltc_ops.sample(tables, p.ltc_kind, vi, p.roughness,
+                                   cos_sel)
+    else:
+        d_ltc_all = cos_dir
+    d_ltc = d_ltc_all
+    ltc_ok = d_ltc[..., 2] > 0.0
+    t_ltc = jnp.where(ltc_ok[..., None], p.specular, 0.0)
+    d_ltc_r = d_ltc_all
     ltc_r_ok = d_ltc_r[..., 2] > 0.0
     d_ltcdiff = jnp.where(take_diff[..., None],
                           jnp.where(up[..., None], cos_dir_r,
@@ -232,20 +287,23 @@ def _sample_base(scene, tables, p: MatParams, vi, u2):
     return vm.safe_normalize(d), thr, leak
 
 
-def sample_bxdf(scene, mat_id, vi, uv, u2, tables=None):
+def sample_bxdf(scene, mat_pack, mat_id, vi, uv, u2, tables,
+                has_mix=True, has_ltc=True, p0=None):
     """Sample an outgoing direction.  Returns (dir, throughput, leak);
-    handles one-level mixes with the reference's sample-reuse split."""
-    if tables is None:
-        tables = ltc_ops.load_tables()
-    m = scene.materials
-    is_mix = m.bxdf_type[mat_id] == BSDF_MIX
-    amt = m.mix_amt[mat_id]
-    take_m1, sx = warps.decide_and_rescale(u2[..., 0], amt)
+    handles one-level mixes with the reference's sample-reuse split.
+    `p0` reuses a prefetched MatParams; has_mix/has_ltc are static
+    scene facts that drop unreachable code at trace time."""
+    if p0 is None:
+        p0 = MatParams(scene, mat_pack, mat_id, uv)
+    if not has_mix:
+        return _sample_base(scene, tables, p0, vi, u2, has_ltc)
+    is_mix = p0.bxdf_type == BSDF_MIX
+    take_m1, sx = warps.decide_and_rescale(u2[..., 0], p0.mix_amt)
     u2_mix = jnp.stack([sx, u2[..., 1]], axis=-1)
     # Non-mix lanes keep the original sample; mix lanes the rescaled.
     u2_eff = jnp.where(is_mix[..., None], u2_mix, u2)
     sub_id = jnp.where(is_mix,
-                       jnp.where(take_m1, m.mix_m1[mat_id], m.mix_m2[mat_id]),
+                       jnp.where(take_m1, p0.mix_m1, p0.mix_m2),
                        mat_id)
-    p = MatParams(scene, sub_id, uv)
-    return _sample_base(scene, tables, p, vi, u2_eff)
+    p = MatParams(scene, mat_pack, sub_id, uv)
+    return _sample_base(scene, tables, p, vi, u2_eff, has_ltc)

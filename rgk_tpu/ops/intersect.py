@@ -1,16 +1,19 @@
-"""Ray-scene intersection: brute force and BVH traversal, pure JAX.
+"""Ray-scene intersection: GEMM-form brute force and BVH traversal.
 
 Replaces the reference's kd-tree traversal kernels (reference
 src/scene_intersect.cpp) with TPU-friendly equivalents:
 
-* `intersect_brute` — a fully vectorized rays x triangles
-  Möller-Trumbore sweep.  For small scenes (the analytic-primitive
-  corpus) this maps straight onto the VPU with zero divergence and is
-  faster than any tree.
+* `intersect_brute` — the whole-scene sweep in *affine/GEMM form*:
+  per-triangle Badouel coefficients (scene/builder.build_tri_pack)
+  make hit t and both barycentrics affine in (ro, t*rd), so the test
+  is 6 thin [R,3]x[3,M] matmuls plus an elementwise mask/argmin over
+  [R, M] — no [R, M, 3] vector temporaries, which is what makes the
+  naive Möller-Trumbore sweep HBM-bound on TPU.  For the analytic
+  scene corpus (tens to thousands of triangles) this is faster than
+  any tree.
 * `intersect_bvh` — stackless skip-link traversal of the flattened
-  BVH (scene/bvh.py) inside a `lax.while_loop`, with all lanes
-  advancing their own node cursor.  Leaves test `leaf_size` triangles
-  vectorized.
+  BVH (scene/bvh.py) inside a `lax.while_loop`; leaves evaluate the
+  same Badouel coefficients gathered per lane.
 
 Both support the reference's self-intersection avoidance (`exclude` =
 index of the triangle the ray starts on, scene_intersect.cpp
@@ -31,6 +34,7 @@ import jax.numpy as jnp
 from . import vecmath as vm
 
 BIG = jnp.float32(3.4e38)
+_PARALLEL_EPS = 1e-9
 
 
 class Hit(NamedTuple):
@@ -44,58 +48,70 @@ class Hit(NamedTuple):
         return self.tri >= 0
 
 
-def _mt_test(ro, rd, a, e1, e2, t_min, t_max):
-    """Möller-Trumbore: rays [...,3] vs triangles [...,3] (already
-    broadcast).  Returns (hit_mask, t, u, v) with u,v the barycentric
-    weights of vertices B and C."""
-    pvec = jnp.cross(rd, e2)
-    det = vm.dot(e1, pvec)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = ro - a
-    u = vm.dot(tvec, pvec) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = vm.dot(rd, qvec) * inv_det
-    t = vm.dot(e2, qvec) * inv_det
-    ok = ((jnp.abs(det) > 1e-12)
-          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-          & (t > t_min) & (t < t_max))
-    return ok, t, u, v
-
-
 def intersect_brute(scene, ro, rd, t_min, t_max, exclude=None,
                     any_hit: bool = False) -> Hit:
-    """Vectorized closest-hit over all triangles.
+    """Closest hit over all triangles in GEMM form.
 
     ro, rd: [R,3]; t_min/t_max: scalars or [R]; exclude: int32 [R] or
-    None.  Memory: O(R x M) intermediates — intended for small scenes
-    or as a reference oracle for BVH tests.
+    None.  Peak memory: a few [R, M] float planes.
     """
-    v = scene.vertices
-    tri = scene.tri_vidx
-    a = v[tri[:, 0]]  # [M,3]
-    e1 = v[tri[:, 1]] - a
-    e2 = v[tri[:, 2]] - a
+    pack = scene.tri_pack                     # [M,12]
+    n_t = pack[:, 0:4]                        # n.xyz, d
+    bcoef = pack[:, 4:8]                      # b0, bv.xyz
+    gcoef = pack[:, 8:12]                     # g0, gv.xyz
 
-    ro_b = ro[:, None, :]
-    rd_b = rd[:, None, :]
+    rddn = rd @ n_t[:, 0:3].T                             # [R,M]
+    rodn = ro @ n_t[:, 0:3].T + n_t[:, 3][None, :]        # n.ro + d
+    safe = jnp.abs(rddn) > _PARALLEL_EPS
+    t = -rodn / jnp.where(safe, rddn, 1.0)
+
+    ro_b = ro @ bcoef[:, 1:4].T + bcoef[:, 0][None, :]
+    rd_b = rd @ bcoef[:, 1:4].T
+    beta = ro_b + t * rd_b
+    ro_g = ro @ gcoef[:, 1:4].T + gcoef[:, 0][None, :]
+    rd_g = rd @ gcoef[:, 1:4].T
+    gamma = ro_g + t * rd_g
+
     t_min_b = jnp.asarray(t_min)[..., None] if jnp.ndim(t_min) else t_min
     t_max_b = jnp.asarray(t_max)[..., None] if jnp.ndim(t_max) else t_max
-    ok, t, u, vv = _mt_test(ro_b, rd_b, a[None], e1[None], e2[None],
-                            t_min_b, t_max_b)
+    ok = (safe & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
+          & (t > t_min_b) & (t < t_max_b))
     if exclude is not None:
-        m = jnp.arange(tri.shape[0], dtype=jnp.int32)[None, :]
+        m = jnp.arange(pack.shape[0], dtype=jnp.int32)[None, :]
         ok = ok & (m != exclude[:, None])
+
     t = jnp.where(ok, t, BIG)
-    idx = jnp.argmin(t, axis=1)
-    r = jnp.arange(ro.shape[0])
-    best_t = t[r, idx]
+    # Winner extraction via masked reductions, NOT row-gathers:
+    # t/beta/gamma are computed values, and XLA fuses producers into
+    # gathers — turning `beta[lane, idx]` into a per-lane scalar
+    # recomputation of the whole row (measured 1000x slower on TPU).
+    best_t = jnp.min(t, axis=1)
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    onehot = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == idx[:, None]
     found = best_t < BIG
     return Hit(
         t=best_t,
-        tri=jnp.where(found, idx.astype(jnp.int32), -1),
-        bary_b=jnp.where(found, u[r, idx], 0.0),
-        bary_c=jnp.where(found, vv[r, idx], 0.0),
+        tri=jnp.where(found, idx, -1),
+        bary_b=jnp.where(found,
+                         jnp.sum(jnp.where(onehot, beta, 0.0), axis=1), 0.0),
+        bary_c=jnp.where(found,
+                         jnp.sum(jnp.where(onehot, gamma, 0.0), axis=1), 0.0),
     )
+
+
+def _pack_test(pack_rows, ro, rd, t_min, t_max):
+    """Badouel test for per-lane gathered coefficient rows [...,12]."""
+    n = pack_rows[..., 0:3]
+    d = pack_rows[..., 3]
+    rddn = vm.dot(rd, n)
+    safe = jnp.abs(rddn) > _PARALLEL_EPS
+    t = -(vm.dot(ro, n) + d) / jnp.where(safe, rddn, 1.0)
+    p = ro + t[..., None] * rd
+    beta = pack_rows[..., 4] + vm.dot(p, pack_rows[..., 5:8])
+    gamma = pack_rows[..., 8] + vm.dot(p, pack_rows[..., 9:12])
+    ok = (safe & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
+          & (t > t_min) & (t < t_max))
+    return ok, t, beta, gamma
 
 
 def intersect_bvh(scene, ro, rd, t_min, t_max, exclude=None,
@@ -104,17 +120,16 @@ def intersect_bvh(scene, ro, rd, t_min, t_max, exclude=None,
 
     Node layout (scene/bvh.py): depth-first order; `meta = (first,
     count, skip)`.  Inner nodes have count == 0 and `first` = index of
-    the left child (right child = skip of left); `skip` = node to jump
-    to when the subtree is culled.  Every lane walks its own cursor —
-    no per-lane stack memory, which keeps live state at 2 int32 + hit
-    record per lane regardless of tree depth.
+    the left child; `skip` = node to jump to when the subtree is
+    culled.  Every lane walks its own cursor — no per-lane stack
+    memory, so live state is 2 int32 + the hit record per lane
+    regardless of tree depth.
     """
     node_min = scene.bvh.node_min
     node_max = scene.bvh.node_max
     node_meta = scene.bvh.node_meta
     prim_idx = scene.bvh.prim_idx
-    v = scene.vertices
-    tri = scene.tri_vidx
+    pack = scene.tri_pack
 
     n_nodes = node_meta.shape[0]
     R = ro.shape[0]
@@ -136,61 +151,46 @@ def intersect_bvh(scene, ro, rd, t_min, t_max, exclude=None,
         tf = jnp.maximum(t0, t1).min(axis=-1)
         return (tf >= tn) & (tf >= t_min) & (tn <= jnp.minimum(best_t, t_max))
 
-    def leaf_test(node, state):
+    def leaf_test(node, active, state):
         best_t, best_tri, bb, bc = state
         first = node_meta[node, 0]
         count = node_meta[node, 1]
         for k in range(leaf_size):
-            slot = first + k
-            pid = prim_idx[jnp.clip(slot, 0, prim_idx.shape[0] - 1)]
-            in_leaf = k < count
-            ta = v[tri[pid, 0]]
-            e1 = v[tri[pid, 1]] - ta
-            e2 = v[tri[pid, 2]] - ta
-            ok, t, u, vv = _mt_test(ro, rd, ta, e1, e2, t_min,
-                                    jnp.minimum(best_t, t_max))
-            ok = ok & in_leaf & (pid != exclude)
+            slot = jax.lax.optimization_barrier(
+                jnp.clip(first + k, 0, prim_idx.shape[0] - 1))
+            pid = jax.lax.optimization_barrier(prim_idx[slot])
+            ok, t, beta, gamma = _pack_test(pack[pid], ro, rd, t_min,
+                                            jnp.minimum(best_t, t_max))
+            ok = ok & active & (k < count) & (pid != exclude)
             best_tri = jnp.where(ok, pid, best_tri)
-            bb = jnp.where(ok, u, bb)
-            bc = jnp.where(ok, vv, bc)
+            bb = jnp.where(ok, beta, bb)
+            bc = jnp.where(ok, gamma, bc)
             best_t = jnp.where(ok, t, best_t)
         return best_t, best_tri, bb, bc
 
     def cond(state):
-        node = state[0]
-        done = state[5]
-        return jnp.any((node < n_nodes) & ~done)
+        node, _, _, _, _, done = state
+        return jnp.any(~done)
 
     def body(state):
         node, best_t, best_tri, bb, bc, done = state
-        nodec = jnp.clip(node, 0, n_nodes - 1)
-        active = (node < n_nodes) & ~done
+        nodec = jax.lax.optimization_barrier(
+            jnp.clip(node, 0, n_nodes - 1))
+        active = ~done
         count = node_meta[nodec, 1]
         hit_box = slab(nodec, best_t) & active
         is_leaf = (count > 0) & hit_box
 
-        new_state = jax.lax.cond(
-            jnp.any(is_leaf),
-            lambda s: _apply_leaf(nodec, is_leaf, s),
-            lambda s: s,
-            (best_t, best_tri, bb, bc),
-        )
-        best_t, best_tri, bb, bc = new_state
+        best_t, best_tri, bb, bc = leaf_test(
+            nodec, is_leaf, (best_t, best_tri, bb, bc))
 
-        # Next node: descend into first child if inner & hit, else skip.
         descend = hit_box & (count == 0)
         nxt = jnp.where(descend, node_meta[nodec, 0], node_meta[nodec, 2])
         nxt = jnp.where(active, nxt, node)
-        done2 = done | (nxt >= n_nodes) | ~ (nxt > -1)
+        done2 = done | (nxt >= n_nodes)
         if any_hit:
             done2 = done2 | (best_tri >= 0)
         return nxt, best_t, best_tri, bb, bc, done2
-
-    def _apply_leaf(nodec, is_leaf, s):
-        bt, btr, b1, b2 = s
-        nt, ntr, n1, n2 = leaf_test(nodec, (bt, btr, b1, b2))
-        return (jnp.where(is_leaf, nt, bt), jnp.where(is_leaf, ntr, btr),
-                jnp.where(is_leaf, n1, b1), jnp.where(is_leaf, n2, b2))
 
     init = (
         jnp.zeros((R,), jnp.int32),

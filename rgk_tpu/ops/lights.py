@@ -59,6 +59,8 @@ def sample_light(scene, choice2, light1, tri2) -> LightSample:
     q = choice2[..., 0] * total
     choose_point = q < total_point
 
+    import jax
+
     # Point pick: q is already uniform on [0, total_point) given the
     # class choice (reference reuses the scaled q, scene.cpp:694-704).
     p_idx = jnp.searchsorted(lt.point_cum, q, side="left")
@@ -69,23 +71,35 @@ def sample_light(scene, choice2, light1, tri2) -> LightSample:
     a_idx = jnp.searchsorted(lt.areal_cum, q2, side="left")
     a_idx = jnp.clip(a_idx, 0, lt.areal_tri.shape[0] - 1).astype(jnp.int32)
 
-    tri = lt.areal_tri[a_idx]
-    vidx = scene.tri_vidx[tri]
-    a = scene.vertices[vidx[..., 0]]
-    b = scene.vertices[vidx[..., 1]]
-    c = scene.vertices[vidx[..., 2]]
+    # Row-packed gathers (1-D scalar-table gathers are a TPU slow
+    # path, see vecmath.take_rows).
+    point_pack = jax.lax.optimization_barrier(jnp.concatenate([
+        lt.point_pos, lt.point_color,
+        lt.point_intensity[:, None], lt.point_size[:, None]], axis=1))
+    prow = vm.take_rows(point_pack, p_idx)
+
+    areal_pack = jax.lax.optimization_barrier(jnp.concatenate([
+        lt.areal_tri[:, None].astype(jnp.int32),
+        jnp.zeros((lt.areal_tri.shape[0], 1), jnp.int32)], axis=1))
+    tri = vm.take_rows(areal_pack, a_idx)[..., 0]
+    a_em = vm.take_rows(lt.areal_emission, a_idx)
+
+    vidx = vm.take_rows(scene.tri_meta, tri)[..., 0:3]
+    a = vm.take_rows(scene.vertices, vidx[..., 0])
+    b = vm.take_rows(scene.vertices, vidx[..., 1])
+    c = vm.take_rows(scene.vertices, vidx[..., 2])
     tri_pos = warps.to_triangle_uniform(tri2, a, b, c)
     # Reference uses vertex A's (shading) normal (scene.cpp:738).
-    tri_normal = scene.normals[vidx[..., 0]]
+    tri_normal = vm.take_rows(scene.normals, vidx[..., 0])
 
     cp = choose_point[..., None]
     return LightSample(
         kind=jnp.where(choose_point, LIGHT_POINT, LIGHT_AREAL).astype(jnp.int32),
-        pos=jnp.where(cp, lt.point_pos[p_idx], tri_pos),
-        color=jnp.where(cp, lt.point_color[p_idx], lt.areal_emission[a_idx]),
-        intensity=jnp.where(choose_point, lt.point_intensity[p_idx], 1.0),
-        size=jnp.where(choose_point, lt.point_size[p_idx], 0.0),
-        normal=jnp.where(cp, vm.safe_normalize(lt.point_pos[p_idx]),
+        pos=jnp.where(cp, prow[..., 0:3], tri_pos),
+        color=jnp.where(cp, prow[..., 3:6], a_em),
+        intensity=jnp.where(choose_point, prow[..., 6], 1.0),
+        size=jnp.where(choose_point, prow[..., 7], 0.0),
+        normal=jnp.where(cp, vm.safe_normalize(prow[..., 0:3]),
                          tri_normal),
         valid=jnp.broadcast_to(valid, choose_point.shape),
     )

@@ -24,6 +24,7 @@ import os
 from functools import lru_cache
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,10 +35,14 @@ _HALF_PI = 0.5 * 3.14159  # the reference's value, not np.pi/2
 
 
 class LTCTables(NamedTuple):
-    """Stacked [kind, 64, 64, ...] tables; kind 0 = Beckmann, 1 = GGX
-    (order matches the BSDF enum parity: beckmann types are even)."""
-    m: jnp.ndarray    # f32 [2, 64, 64, 3, 3]
-    amp: jnp.ndarray  # f32 [2, 64, 64]
+    """Flattened LTC fit tables; kind 0 = Beckmann, 1 = GGX.
+
+    Rows are indexed linearly as kind*4096 + theta*64 + alpha and each
+    row packs the 3x3 matrix + amplitude: [2*64*64, 10].  Linear
+    single-axis gathers are the fast path on TPU; multi-axis fancy
+    indexing lowers to a dramatically slower general gather.
+    """
+    rows: jnp.ndarray  # f32 [2*64*64, 10] = (m.flatten(9), amp)
 
 
 KIND_BECKMANN = 0
@@ -51,14 +56,14 @@ def _load_tables_np():
     d = np.load(os.path.abspath(path))
     m = np.stack([d["beckmann_m"], d["ggx_m"]]).astype(np.float32)
     amp = np.stack([d["beckmann_amp"], d["ggx_amp"]]).astype(np.float32)
-    return m, amp
+    rows = np.concatenate([m.reshape(-1, 9), amp.reshape(-1, 1)], axis=1)
+    return rows
 
 
 def load_tables() -> LTCTables:
     # Cache numpy (trace-safe) and convert per call: under jit the
     # conversion becomes a hoisted constant, never a leaked tracer.
-    m, amp = _load_tables_np()
-    return LTCTables(m=jnp.asarray(m), amp=jnp.asarray(amp))
+    return LTCTables(rows=jnp.asarray(_load_tables_np()))
 
 
 def fetch_bilinear(tables: LTCTables, kind, theta, alpha):
@@ -73,26 +78,30 @@ def fetch_bilinear(tables: LTCTables, kind, theta, alpha):
     s = _SIZE - 1
     t1 = jnp.floor(t * s).astype(jnp.int32)
     a1 = jnp.floor(a * s).astype(jnp.int32)
-    t2 = t1 + 1
-    a2 = a1 + 1
     dt1 = t * s - t1.astype(jnp.float32)
     dt2 = 1.0 - dt1
     da1 = a * s - a1.astype(jnp.float32)
     da2 = 1.0 - da1
 
-    def gm(ti, ai):
-        return tables.m[kind, ti, ai]
+    # Materialize the computed index before gathering (see vm.take):
+    # fused index producers knock TPU gathers off the fast path.
+    base = jax.lax.optimization_barrier(
+        kind * (_SIZE * _SIZE) + t1 * _SIZE + a1)
 
-    def ga(ti, ai):
-        return tables.amp[kind, ti, ai]
+    def row(off):
+        return tables.rows[base + off]
 
-    w11 = (dt2 * da2)[..., None, None]
-    w12 = (dt2 * da1)[..., None, None]
-    w21 = (dt1 * da2)[..., None, None]
-    w22 = (dt1 * da1)[..., None, None]
-    M = gm(t1, a1) * w11 + gm(t1, a2) * w12 + gm(t2, a1) * w21 + gm(t2, a2) * w22
-    A = (ga(t1, a1) * dt2 * da2 + ga(t1, a2) * dt2 * da1
-         + ga(t2, a1) * dt1 * da2 + ga(t2, a2) * dt1 * da1)
+    r11 = row(0)
+    r12 = row(1)
+    r21 = row(_SIZE)
+    r22 = row(_SIZE + 1)
+    w11 = (dt2 * da2)[..., None]
+    w12 = (dt2 * da1)[..., None]
+    w21 = (dt1 * da2)[..., None]
+    w22 = (dt1 * da1)[..., None]
+    blended = r11 * w11 + r12 * w12 + r21 * w21 + r22 * w22
+    M = blended[..., 0:9].reshape(*blended.shape[:-1], 3, 3)
+    A = blended[..., 9]
     return M, A
 
 

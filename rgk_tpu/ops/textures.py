@@ -14,6 +14,7 @@ buffer — texture optimization comes for free.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -24,7 +25,10 @@ def _wrap01(x):
 def _fetch(texels, offset, w, h, ix, iy):
     ix = jnp.clip(ix, 0, w - 1)
     iy = jnp.clip(iy, 0, h - 1)
-    return texels[offset + iy * w + ix]
+    # Barrier the flat index: computed-index gathers leave the TPU
+    # fast path (see vecmath.take).
+    idx = jax.lax.optimization_barrier(offset + iy * w + ix)
+    return texels[idx]
 
 
 def sample_bilinear(atlas, tex_id, uv):
@@ -33,7 +37,7 @@ def sample_bilinear(atlas, tex_id, uv):
     Matches the reference's indexing: u wraps, pixel centers at
     (i+0.5)/size, edge rows clamped (texture.cpp:35-77).
     """
-    desc = atlas.desc[jnp.maximum(tex_id, 0)]
+    desc = atlas.desc[jax.lax.optimization_barrier(jnp.maximum(tex_id, 0))]
     offset, w, h = desc[..., 0], desc[..., 1], desc[..., 2]
     x = _wrap01(uv[..., 0]) * w.astype(jnp.float32) - 0.5
     y = _wrap01(uv[..., 1]) * h.astype(jnp.float32) - 0.5
@@ -65,7 +69,7 @@ def resolve_color(atlas, tex_id, solid_color, uv):
 def bump_slopes(atlas, tex_id, uv):
     """(slope_right, slope_bottom) nearest-neighbor luma differences
     (texture.cpp:79-102): a - b where b is the next texel right/down."""
-    desc = atlas.desc[jnp.maximum(tex_id, 0)]
+    desc = atlas.desc[jax.lax.optimization_barrier(jnp.maximum(tex_id, 0))]
     offset, w, h = desc[..., 0], desc[..., 1], desc[..., 2]
     x = (_wrap01(uv[..., 0]) * w.astype(jnp.float32) - 0.5)
     y = (_wrap01(uv[..., 1]) * h.astype(jnp.float32) - 0.5)

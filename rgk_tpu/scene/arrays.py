@@ -112,6 +112,27 @@ class SceneArrays(NamedTuple):
     tri_vidx: jnp.ndarray   # int32 [M,3]
     tri_mat: jnp.ndarray    # int32 [M]
     tri_normal: jnp.ndarray  # f32 [M,3] geometric plane normal
+    # Badouel intersection coefficients, one affine system per
+    # triangle (see builder.build_tri_pack): [M, 12] =
+    # (n.xyz, d, b0, bv.xyz, g0, gv.xyz).  Lets the intersectors run
+    # as thin [R,3]x[3,M] matmuls + elementwise — no per-pair 3-vector
+    # temporaries (the TPU-native re-design of the reference's
+    # per-triangle Badouel test, src/primitives.cpp:75-166).
+    tri_pack: jnp.ndarray   # f32 [M, 12]
+    # (v0, v1, v2, mat) as one 2-D row table: TPU gathers are fast for
+    # rows of 2-D tables and very slow for 1-D scalar tables, so the
+    # hot path reads triangle topology as single row-gathers.
+    tri_meta: jnp.ndarray   # int32 [M, 4]
+    # Per-triangle shading attributes, de-indexed: the 3 vertex
+    # normals (9), uvs (6) and tangents (9) of each triangle in one
+    # row.  One [R,24] gather replaces nine [V,*] gathers per hit —
+    # row-gather kernel time dominates the shading cost on TPU.
+    tri_shade: jnp.ndarray  # f32 [M, 24]
+    # The 3 vertex positions per triangle (areal light sampling).
+    tri_verts: jnp.ndarray  # f32 [M, 9]
+    # LTC fit tables ride in the pytree (ops/ltc.py): closure-constant
+    # gather operands hit an XLA slow path; traced args do not.
+    ltc_rows: jnp.ndarray   # f32 [2*64*64, 10]
     materials: MaterialTable
     textures: TextureAtlas
     lights: LightTable
@@ -129,7 +150,12 @@ class SceneArrays(NamedTuple):
 
 @dataclass(frozen=True)
 class SceneMeta:
-    """Static facts about a committed scene (never traced)."""
+    """Static facts about a committed scene (never traced).
+
+    The has_* flags let the integrator drop whole code paths at trace
+    time (mix second-pass evals, LTC table fetches, bump shading) —
+    branchless dispatch only pays for lobes the scene can reach.
+    """
     n_triangles: int
     n_materials: int
     n_point_lights: int
@@ -137,7 +163,9 @@ class SceneMeta:
     has_bvh: bool
     has_textures: bool
     has_thinglass: bool
-    material_names: tuple
+    has_mix: bool = True
+    has_ltc: bool = True
+    material_names: tuple = ()
 
 
 def _f32(x):

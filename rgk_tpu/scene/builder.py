@@ -44,6 +44,62 @@ from .arrays import (
 from .json_utils import ConfigError
 
 
+def _ltc_rows():
+    from ..ops.ltc import _load_tables_np
+    return _f32(_load_tables_np())
+
+
+def build_tri_pack(vertices: np.ndarray, tri_vidx: np.ndarray) -> np.ndarray:
+    """Per-triangle Badouel intersection coefficients, [M, 12].
+
+    For triangle (A, B, C) with plane normal n and offset d
+    (n = normalize(cross(C-A, B-A)), the reference's winding,
+    src/primitives.cpp:24-36), barycentric weights of B and C at a hit
+    point p are *affine in p*:
+        beta(p)  = b0 + bv . p
+        gamma(p) = g0 + gv . p
+    computed by solving the 2x2 system on the dominant-axis projection
+    (the reference's 2D Badouel test, primitives.cpp:75-166).  This
+    turns ray-triangle testing into matmuls over the ray wavefront:
+        t     = -(d + ro.n) / (rd.n)
+        beta  = b0 + ro.bv + t * (rd.bv)      (and likewise gamma)
+    i.e. 6 thin [R,3]x[3,M] products + elementwise masks.
+    """
+    a = vertices[tri_vidx[:, 0]].astype(np.float64)
+    b = vertices[tri_vidx[:, 1]].astype(np.float64)
+    c = vertices[tri_vidx[:, 2]].astype(np.float64)
+    n = np.cross(c - a, b - a)
+    nl = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.maximum(nl, 1e-30)
+    d = -np.sum(n * a, axis=-1)
+
+    m = len(a)
+    # Dominant axis per tri; project the other two.
+    k = np.argmax(np.abs(n), axis=-1)
+    i1 = np.where(k == 0, 1, 0)
+    i2 = np.where(k == 2, 1, 2)
+    rows = np.arange(m)
+    b1 = b[rows, i1] - a[rows, i1]
+    b2 = b[rows, i2] - a[rows, i2]
+    c1 = c[rows, i1] - a[rows, i1]
+    c2 = c[rows, i2] - a[rows, i2]
+    denom = b1 * c2 - b2 * c1
+    denom = np.where(np.abs(denom) > 1e-30, denom, 1e-30)
+
+    bv = np.zeros((m, 3))
+    gv = np.zeros((m, 3))
+    bv[rows, i1] = c2 / denom
+    bv[rows, i2] = -c1 / denom
+    gv[rows, i1] = -b2 / denom
+    gv[rows, i2] = b1 / denom
+    b0 = -(a[rows, i1] * c2 - a[rows, i2] * c1) / denom
+    g0 = -(a[rows, i2] * b1 - a[rows, i1] * b2) / denom
+
+    pack = np.concatenate([
+        n, d[:, None], b0[:, None], bv, g0[:, None], gv], axis=1)
+    return pack.astype(np.float32)
+
+
 def phong_exponent_to_roughness(exponent: float) -> float:
     """The reference's Phong-exponent -> LTC roughness map
     (src/bxdf/bxdf.cpp:142-143 and 176-180)."""
@@ -212,7 +268,8 @@ class SceneBuilder:
 
     # ---------------- commit ----------------
 
-    def commit(self, build_bvh: bool = True, bvh_leaf_size: int = 4):
+    def commit(self, build_bvh: bool = True, bvh_leaf_size: int = 4,
+               bvh_threshold: int = 4096):
         """Freeze to SoA arrays + light tables + BVH.
 
         Equivalent of Scene::Commit (reference scene.cpp:294-419):
@@ -250,7 +307,10 @@ class SceneBuilder:
         textures = self._pack_textures()
         lights = self._pack_lights(vertices, tri_vidx)
 
-        if build_bvh and self._tri_count > 8:
+        # The GEMM-form brute sweep beats tree traversal up to a few
+        # thousand triangles on TPU (no gathers, pure matmul +
+        # elementwise); only larger scenes get the BVH.
+        if build_bvh and self._tri_count > bvh_threshold:
             from .bvh import build_bvh as _build
             bvh = _build(vertices, tri_vidx, leaf_size=bvh_leaf_size)
             has_bvh = True
@@ -271,6 +331,19 @@ class SceneBuilder:
             tri_vidx=_i32(tri_vidx),
             tri_mat=_i32(tri_mat),
             tri_normal=_f32(tri_normal),
+            tri_pack=_f32(build_tri_pack(vertices, tri_vidx)),
+            tri_meta=_i32(np.concatenate(
+                [tri_vidx, tri_mat[:, None]], axis=1)),
+            tri_shade=_f32(np.concatenate([
+                normals[tri_vidx[:, 0]], normals[tri_vidx[:, 1]],
+                normals[tri_vidx[:, 2]],
+                uvs[tri_vidx[:, 0]], uvs[tri_vidx[:, 1]],
+                uvs[tri_vidx[:, 2]],
+                tangents[tri_vidx[:, 0]], tangents[tri_vidx[:, 1]],
+                tangents[tri_vidx[:, 2]]], axis=1)),
+            tri_verts=_f32(np.concatenate(
+                [a, b, c], axis=1)),
+            ltc_rows=_ltc_rows(),
             materials=materials,
             textures=textures,
             lights=lights,
@@ -292,6 +365,11 @@ class SceneBuilder:
             has_bvh=has_bvh,
             has_textures=len(self.textures) > 0,
             has_thinglass=any(m.is_thinglass for m in self.materials),
+            has_mix=any(m.bxdf == BSDF_MIX for m in self.materials),
+            has_ltc=any(m.bxdf in (
+                BSDF_LTC_BECKMANN, BSDF_LTC_GGX,
+                BSDF_LTC_BECKMANN_DIFFUSE, BSDF_LTC_GGX_DIFFUSE)
+                for m in self.materials),
             material_names=tuple(m.name for m in self.materials),
         )
         out.log(2, f"Committed {self._vertex_count} vertices, "

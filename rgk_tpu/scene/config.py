@@ -404,9 +404,11 @@ def load_config(path: str) -> Config:
     return Config(path)
 
 
-def build_scene(config: Config, build_bvh: bool = True):
+def build_scene(config: Config, build_bvh: bool = True,
+                bvh_threshold: int = 4096):
     """Convenience: config -> (SceneArrays, SceneMeta, SceneBuilder)."""
     builder = SceneBuilder()
     config.install(builder)
-    arrays, meta = builder.commit(build_bvh=build_bvh)
+    arrays, meta = builder.commit(build_bvh=build_bvh,
+                                  bvh_threshold=bvh_threshold)
     return arrays, meta, builder

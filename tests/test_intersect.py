@@ -5,6 +5,7 @@ import numpy as np
 
 from rgk_tpu.ops.intersect import intersect_brute, intersect_bvh
 from rgk_tpu.scene.arrays import BVHArrays, _f32, _i32
+from rgk_tpu.scene.builder import build_tri_pack
 from rgk_tpu.scene.bvh import build_bvh
 
 
@@ -14,6 +15,8 @@ class _MiniScene:
     def __init__(self, vertices, tri_vidx, bvh=None):
         self.vertices = jnp.asarray(vertices, jnp.float32)
         self.tri_vidx = jnp.asarray(tri_vidx, jnp.int32)
+        self.tri_pack = jnp.asarray(
+            build_tri_pack(np.asarray(vertices), np.asarray(tri_vidx)))
         self.bvh = bvh
         self.epsilon = jnp.float32(1e-5)
 
@@ -104,7 +107,7 @@ def test_render_brute_vs_bvh(reference_scenes):
     cfg2 = load_config(f"{reference_scenes}/cornell-box.json")
     cfg2.settings.xres = cfg2.settings.yres = 24
     cfg2.settings.multisample = 4
-    a_bvh, meta_v, _ = build_scene(cfg2, build_bvh=True)
+    a_bvh, meta_v, _ = build_scene(cfg2, build_bvh=True, bvh_threshold=8)
     assert meta_v.has_bvh
     cam = cfg.get_camera()
     r1, c1, _ = render_image_round(a_brute, meta_b, cfg.settings, cam, 0)
