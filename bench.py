@@ -33,6 +33,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from rgk_tpu.driver.render import RenderDriver
     from rgk_tpu.scene.config import build_scene, load_config
 

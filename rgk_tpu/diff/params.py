@@ -96,7 +96,8 @@ def make_loss_fn(scene, meta, settings, cam, px, py, sample_idx, seed,
     def loss_fn(params):
         s = apply_params(scene, params)
         result = render_lanes(s, meta, settings, cam, px, py,
-                              sample_idx, seed, sampler_mode)
+                              sample_idx, seed, sampler_mode,
+                              differentiable=True)
         diff = result.radiance - target
         return jnp.mean(diff * diff)
 

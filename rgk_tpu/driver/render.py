@@ -77,13 +77,40 @@ class RenderDriver:
             self.block += mesh.n - self.block % mesh.n
         self.n_blocks = (n_pixels + self.block - 1) // self.block
 
+        lane_fn = None
         if mesh is not None:
             self.scene = mesh.shard_scene(scene)
-            self._render_fn = mesh.make_render_fn(meta, settings, sampler_mode)
+            lane_fn = mesh.make_render_fn(meta, settings, sampler_mode)
         else:
-            self._render_fn = jax.jit(partial(
+            lane_fn = jax.jit(partial(
                 render_lanes, meta=self.meta, settings=self.settings,
-                sampler_mode=self.sampler_mode), donate_argnames=())
+                sampler_mode=self.sampler_mode))
+
+        # Per-block lane reduction stays on device: lanes are laid out
+        # [ms, block]; the jitted wrapper sums over the sample axis
+        # and scatters splats, so only [block, 3] (+ the splat image
+        # when reverse > 0) crosses to the host per block.
+        ms = self.ms
+        n_splat = int(settings.reverse) > 0
+        hw = xres * yres
+
+        def _round_block(scene_arg, cam, px, py, s_local, round_off, seed):
+            result = lane_fn(scene=scene_arg, cam=cam, px=px, py=py,
+                             sample_idx=s_local + round_off, seed=seed)
+            pix_sum = result.radiance.reshape(ms, -1, 3).sum(axis=0)
+            rays = result.rays
+            if n_splat:
+                flat = jnp.zeros((hw, 3), jnp.float32)
+                pix = result.splat_pix.reshape(-1)
+                val = result.splat_val.reshape(-1, 3)
+                good = pix >= 0
+                idx = jax.lax.optimization_barrier(jnp.where(good, pix, 0))
+                flat = flat.at[idx].add(jnp.where(good[..., None], val, 0.0))
+                return pix_sum, rays, flat
+            return pix_sum, rays
+
+        self._block_fn = (jax.jit(_round_block) if mesh is None
+                          else jax.jit(_round_block))
 
         # Flat pixel coordinates, padded to whole blocks (padding lanes
         # re-render pixel 0 and are dropped on accumulation).
@@ -92,6 +119,15 @@ class RenderDriver:
         pix = np.where(self._pad_mask, pix, 0)
         self._px = (pix % xres).astype(np.int32)
         self._py = (pix // xres).astype(np.int32)
+        # Device-resident per-block inputs, built once.
+        self._px_dev = []
+        self._py_dev = []
+        for b in range(self.n_blocks):
+            s, e = b * self.block, (b + 1) * self.block
+            self._px_dev.append(jnp.asarray(np.tile(self._px[s:e], ms)))
+            self._py_dev.append(jnp.asarray(np.tile(self._py[s:e], ms)))
+        self._s_local = jnp.asarray(np.repeat(
+            np.arange(ms, dtype=np.uint32), self.block))
 
     def render_round(self, round_idx: int) -> None:
         """Render every pixel x multisample once; accumulate."""
@@ -99,24 +135,26 @@ class RenderDriver:
         ms = self.ms
         rad_sum = np.zeros((yres, xres, 3), np.float64)
         rays = 0
+        n_splat = int(self.settings.reverse) > 0
         for b in range(self.n_blocks):
             s = b * self.block
-            e = s + self.block
-            px = jnp.asarray(np.tile(self._px[s:e], ms))
-            py = jnp.asarray(np.tile(self._py[s:e], ms))
-            sample_idx = jnp.asarray(np.repeat(
-                np.arange(ms, dtype=np.uint32) + round_idx * ms, self.block))
-            result = self._render_fn(
-                scene=self.scene, cam=self.camera, px=px, py=py,
-                sample_idx=sample_idx, seed=jnp.uint32(self.seed))
-            rad = np.asarray(result.radiance, np.float64)
-            mask = self._pad_mask[s:e]
-            rad = rad.reshape(ms, -1, 3)
-            lane_px = self._px[s:e][mask]
-            lane_py = self._py[s:e][mask]
-            np.add.at(rad_sum, (lane_py, lane_px),
-                      rad[:, mask].sum(axis=0))
-            rays += int(result.rays)
+            out = self._block_fn(
+                self.scene, self.camera, self._px_dev[b], self._py_dev[b],
+                self._s_local, jnp.uint32(round_idx * ms),
+                jnp.uint32(self.seed))
+            if n_splat:
+                pix_sum, r_rays, splat_flat = out
+                rad_sum += np.asarray(splat_flat, np.float64).reshape(
+                    yres, xres, 3)
+            else:
+                pix_sum, r_rays = out
+            pix_np = np.asarray(pix_sum, np.float64)
+            mask = self._pad_mask[s:s + self.block]
+            lane_px = self._px[s:s + self.block][mask]
+            lane_py = self._py[s:s + self.block][mask]
+            # Pixels are unique within a block -> plain fancy-index add.
+            rad_sum[lane_py, lane_px] += pix_np[mask]
+            rays += int(r_rays)
             self.stats.lanes += int(mask.sum()) * ms
         counts = np.full((yres, xres), float(ms))
         self.acc.add(rad_sum, counts)

@@ -209,8 +209,14 @@ def _extend_path(scene, meta, settings, tables, mat_pack, ctx, state,
     return new_state, sp, p0, act, state.contribution, sky_mask
 
 
-def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
-    """Trace one eye path (and optional light subpath) per lane."""
+def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
+                    differentiable: bool = False) -> TraceResult:
+    """Trace one eye path (and optional light subpath) per lane.
+
+    differentiable=True uses a fixed-length scan for the bounce loop
+    (reverse-mode AD); False uses a while_loop with all-dead early
+    exit (faster for forward rendering).
+    """
     # Tables ride in the scene pytree (traced args — constants hit an
     # XLA gather slow path) and material scalars are packed into one
     # row table so all per-lane material reads are single row-gathers.
@@ -286,7 +292,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
                         lrec["vr"]).reshape(-1, 3),
             vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
                         -direction).reshape(-1, 3),
-            lrec["uv"].reshape(-1, 2), tables).reshape(lpos.shape)
+            lrec["uv"].reshape(-1, 2), tables,
+            has_mix=meta.has_mix, has_ltc=meta.has_ltc).reshape(lpos.shape)
         g_cam = (jnp.maximum(0.0, vm.dot(lrec["light_n"], -direction))
                  / jnp.maximum(vm.distance2(campos, lpos), 1e-12))
         q = lrec["light_here"] * f_cam * g_cam[..., None]
@@ -354,7 +361,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
                                 lrec["b_f"][k], light_to_p),
                     vm.to_local(lrec["light_n"][k], lrec["t_f"][k],
                                 lrec["b_f"][k], lrec["vr"][k]),
-                    lrec["uv"][k], tables)
+                    lrec["uv"][k], tables,
+                    has_mix=meta.has_mix, has_ltc=meta.has_ltc)
                 f_point = bxdf_ops.eval_bxdf(
                     scene, mat_pack, sp.mat_id, _to_local(sp, sp.vr),
                     _to_local(sp, p_to_light), sp.uv, tables,
@@ -378,9 +386,27 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
                                         contrib * total_here, 0.0)
         return (new_state, radiance), None
 
-    (e_state, radiance), _ = jax.lax.scan(
-        eye_bounce, (e_state, radiance0),
-        jnp.arange(depth, dtype=jnp.uint32))
+    if differentiable:
+        # scan supports reverse-mode AD (no early exit).
+        (e_state, radiance), _ = jax.lax.scan(
+            eye_bounce, (e_state, radiance0),
+            jnp.arange(depth, dtype=jnp.uint32))
+    else:
+        # while_loop exits as soon as every lane died (russian
+        # roulette kills ~1-p of lanes per bounce; the fixed-length
+        # scan would pay full width for mostly-dead tail bounces).
+        def w_cond(carry):
+            state, _radiance, bounce = carry
+            return (bounce < depth) & jnp.any(state.alive)
+
+        def w_body(carry):
+            state, radiance, bounce = carry
+            (state, radiance), _ = eye_bounce(
+                (state, radiance), bounce.astype(jnp.uint32))
+            return state, radiance, bounce + 1
+
+        e_state, radiance, _ = jax.lax.while_loop(
+            w_cond, w_body, (e_state, radiance0, jnp.zeros((), jnp.int32)))
 
     # Final clamp + NaN/negative scrub (path_tracer.cpp:502-507).
     radiance = jnp.minimum(radiance, clamp)
@@ -391,7 +417,7 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py) -> TraceResult:
 
 
 def render_lanes(scene, meta, settings, cam, px, py, sample_idx, seed,
-                 sampler_mode: int = 1):
+                 sampler_mode: int = 1, differentiable: bool = False):
     """Render a batch of lanes: px/py int32 [R], sample_idx uint32 [R]
     (globally unique per round x multisample), seed uint32 scalar."""
     pixel_id = (py.astype(jnp.uint32) * jnp.uint32(cam.xres)
@@ -399,7 +425,8 @@ def render_lanes(scene, meta, settings, cam, px, py, sample_idx, seed,
     ctx = smp.SampleCtx(seed=jnp.uint32(seed), pixel=pixel_id,
                         sample=sample_idx.astype(jnp.uint32),
                         mode=sampler_mode)
-    return trace_wavefront(scene, meta, settings, cam, ctx, px, py)
+    return trace_wavefront(scene, meta, settings, cam, ctx, px, py,
+                           differentiable=differentiable)
 
 
 def render_image_round(scene, meta, settings, cam, round_idx: int,
