@@ -76,6 +76,10 @@ def intersect_brute(scene, ro, rd, t_min, t_max, exclude=None,
     t_max_b = jnp.asarray(t_max)[..., None] if jnp.ndim(t_max) else t_max
     ok = (safe & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
           & (t > t_min_b) & (t < t_max_b))
+    if pack.shape[1] > 12:
+        # Thin-glass triangles never block (see builder
+        # append_thinglass_column).
+        ok = ok & (pack[:, 12] < 0.5)[None, :]
     if exclude is not None:
         m = jnp.arange(pack.shape[0], dtype=jnp.int32)[None, :]
         ok = ok & (m != exclude[:, None])
@@ -111,6 +115,8 @@ def _pack_test(pack_rows, ro, rd, t_min, t_max):
     gamma = pack_rows[..., 8] + vm.dot(p, pack_rows[..., 9:12])
     ok = (safe & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
           & (t > t_min) & (t < t_max))
+    if pack_rows.shape[-1] > 12:
+        ok = ok & (pack_rows[..., 12] < 0.5)
     return ok, t, beta, gamma
 
 

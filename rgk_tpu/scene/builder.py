@@ -100,6 +100,20 @@ def build_tri_pack(vertices: np.ndarray, tri_vidx: np.ndarray) -> np.ndarray:
     return pack.astype(np.float32)
 
 
+def append_thinglass_column(pack: np.ndarray, tri_mat: np.ndarray,
+                            is_thinglass: np.ndarray) -> np.ndarray:
+    """Column 12: 1.0 for triangles of thin-glass materials.
+
+    The reference's thin-glass traversal skips these triangles while
+    recording hits for a tint filter that is disabled in live code
+    (reference src/path_tracer.cpp ApplyThinglass:97-104 — TODO'd
+    out), so behavioral parity = rays and shadow rays pass straight
+    through.  The intersectors mask them out when the column is set.
+    """
+    col = is_thinglass[tri_mat].astype(np.float32)[:, None]
+    return np.concatenate([pack, col], axis=1).astype(np.float32)
+
+
 def phong_exponent_to_roughness(exponent: float) -> float:
     """The reference's Phong-exponent -> LTC roughness map
     (src/bxdf/bxdf.cpp:142-143 and 176-180)."""
@@ -331,7 +345,10 @@ class SceneBuilder:
             tri_vidx=_i32(tri_vidx),
             tri_mat=_i32(tri_mat),
             tri_normal=_f32(tri_normal),
-            tri_pack=_f32(build_tri_pack(vertices, tri_vidx)),
+            tri_pack=_f32(append_thinglass_column(
+                build_tri_pack(vertices, tri_vidx), tri_mat,
+                np.asarray([m.is_thinglass for m in self.materials],
+                           bool))),
             tri_meta=_i32(np.concatenate(
                 [tri_vidx, tri_mat[:, None]], axis=1)),
             tri_shade=_f32(np.concatenate([
