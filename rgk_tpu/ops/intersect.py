@@ -213,10 +213,23 @@ def intersect_bvh(scene, ro, rd, t_min, t_max, exclude=None,
 
 
 def make_intersector(meta):
-    """Pick the intersection routine for a committed scene."""
+    """Pick the intersection routine for a committed scene.
+
+    Flat scenes use the Pallas VMEM-resident kernel on TPU and the
+    GEMM sweep elsewhere; BVH scenes use the stackless traversal.
+    """
     if meta.has_bvh:
         return intersect_bvh
-    return intersect_brute
+
+    def flat(scene, ro, rd, t_min, t_max, exclude=None, any_hit=False):
+        if jax.default_backend() == "tpu":
+            from .pallas_intersect import intersect_pallas
+            return intersect_pallas(scene, ro, rd, t_min, t_max,
+                                    exclude=exclude, any_hit=any_hit)
+        return intersect_brute(scene, ro, rd, t_min, t_max,
+                               exclude=exclude, any_hit=any_hit)
+
+    return flat
 
 
 def visibility(scene, intersect_fn, a, b, eps_mult: float = 20.0):

@@ -133,6 +133,9 @@ class SceneArrays(NamedTuple):
     # LTC fit tables ride in the pytree (ops/ltc.py): closure-constant
     # gather operands hit an XLA slow path; traced args do not.
     ltc_rows: jnp.ndarray   # f32 [2*64*64, 10]
+    # Sublane-padded transpose of tri_pack for the Pallas flat-scene
+    # intersector (ops/pallas_intersect.py prepare_pack_mp).
+    pack_mp: jnp.ndarray    # f32 [Mp, 16]
     materials: MaterialTable
     textures: TextureAtlas
     lights: LightTable

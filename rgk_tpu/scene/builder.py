@@ -49,6 +49,15 @@ def _ltc_rows():
     return _f32(_load_tables_np())
 
 
+def _pack_mp_or_empty(pack13: np.ndarray, flat: bool):
+    """Pallas intersector pack for flat (non-BVH) scenes; a 1-row
+    placeholder otherwise (the BVH path never reads it)."""
+    if not flat:
+        return _f32(np.zeros((8, 16), np.float32))
+    from ..ops.pallas_intersect import prepare_pack_mp
+    return _f32(prepare_pack_mp(pack13))
+
+
 def build_tri_pack(vertices: np.ndarray, tri_vidx: np.ndarray) -> np.ndarray:
     """Per-triangle Badouel intersection coefficients, [M, 12].
 
@@ -361,6 +370,12 @@ class SceneBuilder:
             tri_verts=_f32(np.concatenate(
                 [a, b, c], axis=1)),
             ltc_rows=_ltc_rows(),
+            pack_mp=_pack_mp_or_empty(
+                append_thinglass_column(
+                    build_tri_pack(vertices, tri_vidx), tri_mat,
+                    np.asarray([m.is_thinglass for m in self.materials],
+                               bool)),
+                flat=not (build_bvh and self._tri_count > bvh_threshold)),
             materials=materials,
             textures=textures,
             lights=lights,
