@@ -52,14 +52,15 @@ def main() -> int:
     driver = RenderDriver(s, arrays, meta, cam, chunk_lanes=1 << 21)
     # Warmup round compiles; timed rounds measure steady state.
     driver.render_round(0)
+    jax.block_until_ready(driver._rays_dev)
+    rays0 = float(driver._rays_dev)
     t0 = time.time()
-    rays0 = driver.stats.rays
     n_rounds = 3
     for r in range(1, 1 + n_rounds):
         driver.render_round(r)
-    jax.block_until_ready(jnp.zeros(()))
+    jax.block_until_ready(driver._rays_dev)
     dt = time.time() - t0
-    rays = driver.stats.rays - rays0
+    rays = float(driver._rays_dev) - rays0
 
     mrays = rays / dt / 1e6
     print(json.dumps({

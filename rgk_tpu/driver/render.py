@@ -86,80 +86,78 @@ class RenderDriver:
                 render_lanes, meta=self.meta, settings=self.settings,
                 sampler_mode=self.sampler_mode))
 
-        # Per-block lane reduction stays on device: lanes are laid out
-        # [ms, block]; the jitted wrapper sums over the sample axis
-        # and scatters splats, so only [block, 3] (+ the splat image
-        # when reverse > 0) crosses to the host per block.
+        # The round's accumulation stays ON DEVICE: each block scatters
+        # its per-pixel radiance sums (and any BDPT splats) into a
+        # device-resident [H*W+1, 3] buffer (row H*W swallows padding
+        # lanes), and the device buffer crosses to the host only when
+        # the EXR is written.  Host<->device transfers are the
+        # dominant per-round cost on tunneled devices (measured ~90 ms
+        # for 3 MB) — the reference's mutex-guarded host frame buffer
+        # (render_driver.cpp:179-182) has no business on the PCIe bus.
         ms = self.ms
         n_splat = int(settings.reverse) > 0
         hw = xres * yres
 
-        def _round_block(scene_arg, cam, px, py, s_local, round_off, seed):
+        def _round_block(acc, rays_acc, scene_arg, cam, px, py, s_local,
+                         round_off, seed, pix_idx):
             result = lane_fn(scene=scene_arg, cam=cam, px=px, py=py,
                              sample_idx=s_local + round_off, seed=seed)
             pix_sum = result.radiance.reshape(ms, -1, 3).sum(axis=0)
-            rays = result.rays
+            acc = acc.at[pix_idx].add(pix_sum)
             if n_splat:
-                flat = jnp.zeros((hw, 3), jnp.float32)
                 pix = result.splat_pix.reshape(-1)
                 val = result.splat_val.reshape(-1, 3)
                 good = pix >= 0
-                idx = jax.lax.optimization_barrier(jnp.where(good, pix, 0))
-                flat = flat.at[idx].add(jnp.where(good[..., None], val, 0.0))
-                return pix_sum, rays, flat
-            return pix_sum, rays
+                idx = jax.lax.optimization_barrier(jnp.where(good, pix, hw))
+                acc = acc.at[idx].add(jnp.where(good[..., None], val, 0.0))
+            return acc, rays_acc + result.rays.astype(jnp.float32)
 
-        self._block_fn = (jax.jit(_round_block) if mesh is None
-                          else jax.jit(_round_block))
+        self._block_fn = jax.jit(_round_block, donate_argnums=(0, 1))
 
         # Flat pixel coordinates, padded to whole blocks (padding lanes
-        # re-render pixel 0 and are dropped on accumulation).
+        # re-render pixel 0 and scatter into the dummy row hw).
         pix = np.arange(self.n_blocks * self.block, dtype=np.int64)
         self._pad_mask = pix < n_pixels
-        pix = np.where(self._pad_mask, pix, 0)
-        self._px = (pix % xres).astype(np.int32)
-        self._py = (pix // xres).astype(np.int32)
+        self._px = np.where(self._pad_mask, pix % xres, 0).astype(np.int32)
+        self._py = np.where(self._pad_mask, pix // xres, 0).astype(np.int32)
+        pix_idx = np.where(self._pad_mask, pix, hw).astype(np.int32)
         # Device-resident per-block inputs, built once.
         self._px_dev = []
         self._py_dev = []
+        self._pix_idx_dev = []
         for b in range(self.n_blocks):
             s, e = b * self.block, (b + 1) * self.block
             self._px_dev.append(jnp.asarray(np.tile(self._px[s:e], ms)))
             self._py_dev.append(jnp.asarray(np.tile(self._py[s:e], ms)))
+            self._pix_idx_dev.append(jnp.asarray(pix_idx[s:e]))
         self._s_local = jnp.asarray(np.repeat(
             np.arange(ms, dtype=np.uint32), self.block))
+        self._acc_dev = jnp.zeros((hw + 1, 3), jnp.float32)
+        # f32 ray counter: exact to 16.7M per add and ~1e-7 relative
+        # beyond — a progress metric, not radiometry.
+        self._rays_dev = jnp.zeros((), jnp.float32)
 
     def render_round(self, round_idx: int) -> None:
-        """Render every pixel x multisample once; accumulate."""
-        xres, yres = self.camera.xres, self.camera.yres
-        ms = self.ms
-        rad_sum = np.zeros((yres, xres, 3), np.float64)
-        rays = 0
-        n_splat = int(self.settings.reverse) > 0
+        """Render every pixel x multisample once; accumulate on device."""
         for b in range(self.n_blocks):
-            s = b * self.block
-            out = self._block_fn(
+            self._acc_dev, self._rays_dev = self._block_fn(
+                self._acc_dev, self._rays_dev,
                 self.scene, self.camera, self._px_dev[b], self._py_dev[b],
-                self._s_local, jnp.uint32(round_idx * ms),
-                jnp.uint32(self.seed))
-            if n_splat:
-                pix_sum, r_rays, splat_flat = out
-                rad_sum += np.asarray(splat_flat, np.float64).reshape(
-                    yres, xres, 3)
-            else:
-                pix_sum, r_rays = out
-            pix_np = np.asarray(pix_sum, np.float64)
-            mask = self._pad_mask[s:s + self.block]
-            lane_px = self._px[s:s + self.block][mask]
-            lane_py = self._py[s:s + self.block][mask]
-            # Pixels are unique within a block -> plain fancy-index add.
-            rad_sum[lane_py, lane_px] += pix_np[mask]
-            rays += int(r_rays)
-            self.stats.lanes += int(mask.sum()) * ms
-        counts = np.full((yres, xres), float(ms))
-        self.acc.add(rad_sum, counts)
-        self.stats.rays += rays
+                self._s_local, jnp.uint32(round_idx * self.ms),
+                jnp.uint32(self.seed), self._pix_idx_dev[b])
+        self.stats.lanes += int(self._pad_mask.sum()) * self.ms
         self.stats.rounds += 1
+
+    def fetch_accumulation(self) -> None:
+        """Pull the device accumulation into the host AccumulationImage
+        (one transfer; called before EXR writes / checkpointing)."""
+        xres, yres = self.camera.xres, self.camera.yres
+        rad = np.asarray(self._acc_dev[:-1], np.float64).reshape(
+            yres, xres, 3)
+        self.acc.sum = rad
+        self.acc.count = np.full((yres, xres),
+                                 float(self.ms * self.stats.rounds))
+        self.stats.rays = int(self._rays_dev)
 
     def render_frame(self, out_path: Optional[str] = None) -> RenderStats:
         """Run the rounds/timed loop, writing the EXR progressively."""
@@ -174,6 +172,7 @@ class RenderDriver:
             rt = time.time() - rt0
             self.stats.seconds = time.time() - t0
             if out_path:
+                self.fetch_accumulation()
                 self.acc.save(out_path, scale=s.output_scale)
                 self.save_checkpoint(out_path + ".ckpt.npz", round_idx)
             rays_s = self.stats.rays_per_sec
@@ -193,6 +192,7 @@ class RenderDriver:
                 if round_idx >= s.rounds:
                     break
         self.stats.seconds = time.time() - t0
+        self.fetch_accumulation()
         out.log(1, f"Total rays: {format_int_thousands(self.stats.rays)}; "
                    f"avg {format_int_thousands(int(self.stats.rays_per_sec))}"
                    f" rays/s")
@@ -202,7 +202,8 @@ class RenderDriver:
 
     def save_checkpoint(self, path: str, next_round: int) -> None:
         np.savez_compressed(path, sum=self.acc.sum, count=self.acc.count,
-                            next_round=next_round, seed=self.seed)
+                            next_round=next_round, seed=self.seed,
+                            rays=self.stats.rays)
 
     def load_checkpoint(self, path: str) -> int:
         """Restore accumulation state; returns the next round index."""
@@ -211,4 +212,12 @@ class RenderDriver:
             raise ValueError("checkpoint seed mismatch")
         self.acc.sum = d["sum"]
         self.acc.count = d["count"]
+        self.stats.rounds = int(round(float(d["count"].max()) / self.ms))
+        self.stats.rays = int(d["rays"]) if "rays" in d else 0
+        # Re-seed the device accumulation buffer from the checkpoint.
+        flat = np.zeros((self.camera.xres * self.camera.yres + 1, 3),
+                        np.float32)
+        flat[:-1] = np.asarray(d["sum"], np.float32).reshape(-1, 3)
+        self._acc_dev = jnp.asarray(flat)
+        self._rays_dev = jnp.float32(self.stats.rays)
         return int(d["next_round"])

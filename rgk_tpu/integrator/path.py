@@ -172,10 +172,11 @@ def _extend_path(scene, meta, settings, tables, mat_pack, ctx, state,
 
     vr_local = _to_local(sp, sp.vr)
     p0 = bxdf_ops.MatParams(scene, mat_pack, sp.mat_id, sp.uv,
-                            row=sp.mat_row)
+                            row=sp.mat_row, has_textures=meta.has_textures)
     dir_local, transfer, may_leak = bxdf_ops.sample_bxdf(
         scene, mat_pack, sp.mat_id, vr_local, sp.uv, u2, tables,
-        has_mix=meta.has_mix, has_ltc=meta.has_ltc, p0=p0)
+        has_mix=meta.has_mix, has_ltc=meta.has_ltc,
+        has_textures=meta.has_textures, p0=p0)
     inside = dir_local[..., 2] < 0.0
     dir_world = vm.to_global(sp.light_n, sp.t_f, sp.b_f, dir_local)
 
@@ -293,7 +294,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
             vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
                         -direction).reshape(-1, 3),
             lrec["uv"].reshape(-1, 2), tables,
-            has_mix=meta.has_mix, has_ltc=meta.has_ltc).reshape(lpos.shape)
+            has_mix=meta.has_mix, has_ltc=meta.has_ltc,
+            has_textures=meta.has_textures).reshape(lpos.shape)
         g_cam = (jnp.maximum(0.0, vm.dot(lrec["light_n"], -direction))
                  / jnp.maximum(vm.distance2(campos, lpos), 1e-12))
         q = lrec["light_here"] * f_cam * g_cam[..., None]
@@ -326,7 +328,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
             bounce_idx + 1, russian, tag=1)
 
         # Sky escape
-        sky = tex_ops.sky_radiance(scene, -state.rd)
+        sky = tex_ops.sky_radiance(scene, -state.rd,
+                                   has_envmap=meta.has_envmap)
         radiance = radiance + jnp.where(sky_mask[..., None],
                                         contrib * sky, 0.0)
 
@@ -339,7 +342,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
                                _to_local(sp, vi_l),
                                _to_local(sp, sp.vr), sp.uv, tables,
                                has_mix=meta.has_mix,
-                               has_ltc=meta.has_ltc, p0=p0)
+                               has_ltc=meta.has_ltc,
+                               has_textures=meta.has_textures, p0=p0)
         g = jnp.abs(vm.dot(sp.light_n, vi_l)) / dist2
         inc = (light.color * light.intensity[..., None]
                * light.directional_factor(-vi_l)[..., None])
@@ -362,11 +366,13 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
                     vm.to_local(lrec["light_n"][k], lrec["t_f"][k],
                                 lrec["b_f"][k], lrec["vr"][k]),
                     lrec["uv"][k], tables,
-                    has_mix=meta.has_mix, has_ltc=meta.has_ltc)
+                    has_mix=meta.has_mix, has_ltc=meta.has_ltc,
+                    has_textures=meta.has_textures)
                 f_point = bxdf_ops.eval_bxdf(
                     scene, mat_pack, sp.mat_id, _to_local(sp, sp.vr),
                     _to_local(sp, p_to_light), sp.uv, tables,
-                    has_mix=meta.has_mix, has_ltc=meta.has_ltc, p0=p0)
+                    has_mix=meta.has_mix, has_ltc=meta.has_ltc,
+                    has_textures=meta.has_textures, p0=p0)
                 g_c = (jnp.abs(vm.dot(sp.light_n, p_to_light))
                        / jnp.maximum(vm.distance2(l_pos, sp.pos), 1e-12))
                 term = (lrec["light_here"][k] * f_light * f_point

@@ -63,7 +63,11 @@ def _fresnel_dielectric(eta, cos_theta):
     return jnp.where(tir, 1.0, r), jnp.where(tir, 0.0, cos_trans)
 
 
-def _resolve(scene, tex_id, solid, uv):
+def _resolve(scene, tex_id, solid, uv, has_textures=True):
+    if not has_textures:
+        # Static scene fact: no textures exist — skip the bilinear
+        # gather chain entirely (it costs ~4 pool gathers per lane).
+        return solid
     return tex_ops.resolve_color(scene.textures, tex_id, solid, uv)
 
 
@@ -98,15 +102,16 @@ class MatParams:
     Pass a prefetched `row` to reuse a gather already paid for this
     bounce — row-gather kernels dominate TPU shading cost."""
 
-    def __init__(self, scene, mat_pack, mat_id, uv, row=None):
+    def __init__(self, scene, mat_pack, mat_id, uv, row=None,
+                 has_textures=True):
         if row is None:
             row = vm.take_rows(mat_pack, mat_id)
         self.emission = row[..., 0:3]
         self.bxdf_type = row[..., 12].astype(jnp.int32)
         self.diffuse = _resolve(scene, row[..., 15].astype(jnp.int32),
-                                row[..., 3:6], uv)
+                                row[..., 3:6], uv, has_textures)
         self.specular = _resolve(scene, row[..., 16].astype(jnp.int32),
-                                 row[..., 6:9], uv)
+                                 row[..., 6:9], uv, has_textures)
         self.roughness = row[..., 9]
         self.ior = row[..., 10]
         self.mix_amt = row[..., 11]
@@ -176,14 +181,16 @@ def _eval_base(scene, tables, p: MatParams, vi, vr, has_ltc=True):
 
 
 def eval_bxdf(scene, mat_pack, mat_id, vi, vr, uv, tables,
-              has_mix=True, has_ltc=True, p0=None):
+              has_mix=True, has_ltc=True, has_textures=True, p0=None):
     """BRDF value f(Vi, Vr) for lanes; handles one-level mixes.
 
-    has_mix/has_ltc are *static* scene facts (SceneMeta) — scenes
-    without those material classes drop the extra eval passes and LTC
-    fetches at trace time.  `p0` reuses a prefetched MatParams.
+    has_mix/has_ltc/has_textures are *static* scene facts (SceneMeta)
+    — scenes without those material classes drop the extra eval
+    passes, LTC fetches and texture gathers at trace time.  `p0`
+    reuses a prefetched MatParams.
     """
-    p = p0 if p0 is not None else MatParams(scene, mat_pack, mat_id, uv)
+    p = p0 if p0 is not None else MatParams(scene, mat_pack, mat_id, uv,
+                                            has_textures=has_textures)
     base = _eval_base(scene, tables, p, vi, vr, has_ltc)
     if not has_mix:
         return base
@@ -191,10 +198,12 @@ def eval_bxdf(scene, mat_pack, mat_id, vi, vr, uv, tables,
     is_mix = p.bxdf_type == BSDF_MIX
     amt = p.mix_amt[..., None]
     f1 = _eval_base(scene, tables,
-                    MatParams(scene, mat_pack, p.mix_m1, uv), vi, vr,
+                    MatParams(scene, mat_pack, p.mix_m1, uv,
+                              has_textures=has_textures), vi, vr,
                     has_ltc)
     f2 = _eval_base(scene, tables,
-                    MatParams(scene, mat_pack, p.mix_m2, uv), vi, vr,
+                    MatParams(scene, mat_pack, p.mix_m2, uv,
+                              has_textures=has_textures), vi, vr,
                     has_ltc)
     return jnp.where(is_mix[..., None], f1 * amt + f2 * (1.0 - amt), base)
 
@@ -288,13 +297,14 @@ def _sample_base(scene, tables, p: MatParams, vi, u2, has_ltc=True):
 
 
 def sample_bxdf(scene, mat_pack, mat_id, vi, uv, u2, tables,
-                has_mix=True, has_ltc=True, p0=None):
+                has_mix=True, has_ltc=True, has_textures=True, p0=None):
     """Sample an outgoing direction.  Returns (dir, throughput, leak);
     handles one-level mixes with the reference's sample-reuse split.
-    `p0` reuses a prefetched MatParams; has_mix/has_ltc are static
-    scene facts that drop unreachable code at trace time."""
+    `p0` reuses a prefetched MatParams; has_mix/has_ltc/has_textures
+    are static scene facts that drop unreachable code at trace time."""
     if p0 is None:
-        p0 = MatParams(scene, mat_pack, mat_id, uv)
+        p0 = MatParams(scene, mat_pack, mat_id, uv,
+                       has_textures=has_textures)
     if not has_mix:
         return _sample_base(scene, tables, p0, vi, u2, has_ltc)
     is_mix = p0.bxdf_type == BSDF_MIX
@@ -305,5 +315,5 @@ def sample_bxdf(scene, mat_pack, mat_id, vi, uv, u2, tables,
     sub_id = jnp.where(is_mix,
                        jnp.where(take_m1, p0.mix_m1, p0.mix_m2),
                        mat_id)
-    p = MatParams(scene, mat_pack, sub_id, uv)
+    p = MatParams(scene, mat_pack, sub_id, uv, has_textures=has_textures)
     return _sample_base(scene, tables, p, vi, u2_eff, has_ltc)

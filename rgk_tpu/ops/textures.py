@@ -90,15 +90,18 @@ def bump_slopes(atlas, tex_id, uv):
     return here - right, here - down
 
 
-def sky_radiance(scene, direction):
+def sky_radiance(scene, direction, has_envmap=True):
     """Sky lookup for direction[...,3].
 
     Constant color, or lat-long envmap with Y-axis rotation in degrees
     (scene.cpp:748-763).  NOTE the caller passes Vr = -ray_direction,
     matching the reference's convention at sky vertices
-    (src/path_tracer.cpp:409-415).
+    (src/path_tracer.cpp:409-415).  has_envmap=False (static scene
+    fact) drops the bilinear fetch for constant-sky scenes.
     """
     const = scene.sky_color * scene.sky_intensity
+    if not has_envmap:
+        return jnp.broadcast_to(const, direction.shape)
     tex_id = scene.sky_tex
     alpha = jnp.arcsin(jnp.clip(direction[..., 1], -1.0, 1.0))
     beta = -jnp.arctan2(direction[..., 0], direction[..., 2])

@@ -27,14 +27,36 @@ def take(table, idx):
     return table[jax.lax.optimization_barrier(idx)]
 
 
+# Row-fetch strategy threshold: tables with at most this many rows are
+# fetched with a one-hot MXU matmul instead of a dynamic gather.  TPU
+# dynamic gathers run element-at-a-time (~18x slower, measured at
+# [2^21]<-[36,24]); a [M,R] one-hot contraction is pure MXU work and,
+# as a bonus, differentiable in the table values (gradients flow to
+# material packs through the select).
+MATMUL_GATHER_MAX_ROWS = 1024
+
+
 def take_rows(table2d, idx):
     """Gather whole rows of a 2-D table, materialized.
 
-    Barriers BOTH the indices and the gathered rows: a column slice
-    applied directly to a gather re-fuses into it and hits the same
-    slow path (a 1-D scalar-table gather is the degenerate case).
-    Slice columns only from the returned, materialized rows.
+    Small static tables use the one-hot matmul (see
+    MATMUL_GATHER_MAX_ROWS).  The large-table fallback is a real
+    gather; it barriers BOTH the indices and the gathered rows — a
+    column slice applied directly to a gather re-fuses into it and
+    hits the same slow path (a 1-D scalar-table gather is the
+    degenerate case).  Slice columns only from the returned,
+    materialized rows.
     """
+    m = table2d.shape[0]
+    if 0 < m <= MATMUL_GATHER_MAX_ROWS and idx.ndim == 1:
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (m, idx.shape[0]), 0)
+                  == idx[None, :]).astype(jnp.float32)
+        cols = jnp.dot(table2d.T.astype(jnp.float32), onehot,
+                       preferred_element_type=jnp.float32)   # [K, R]
+        rows = jnp.moveaxis(cols, 0, -1)                     # [R, K]
+        if jnp.issubdtype(table2d.dtype, jnp.integer):
+            rows = jnp.rint(rows).astype(table2d.dtype)
+        return rows
     rows = table2d[jax.lax.optimization_barrier(idx)]
     return jax.lax.optimization_barrier(rows)
 

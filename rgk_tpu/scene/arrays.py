@@ -168,6 +168,7 @@ class SceneMeta:
     has_thinglass: bool
     has_mix: bool = True
     has_ltc: bool = True
+    has_envmap: bool = True
     material_names: tuple = ()
 
 

@@ -402,6 +402,7 @@ class SceneBuilder:
                 BSDF_LTC_BECKMANN, BSDF_LTC_GGX,
                 BSDF_LTC_BECKMANN_DIFFUSE, BSDF_LTC_GGX_DIFFUSE)
                 for m in self.materials),
+            has_envmap=int(arrays.sky_tex) >= 0,
             material_names=tuple(m.name for m in self.materials),
         )
         out.log(2, f"Committed {self._vertex_count} vertices, "
