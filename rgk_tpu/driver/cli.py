@@ -56,14 +56,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from <output>.ckpt.npz if present")
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--sampler", choices=["halton", "independent"],
-                   default="halton")
+    p.add_argument("--sampler",
+                   choices=["halton", "independent", "stratified", "lhs",
+                            "vdc"],
+                   default="halton",
+                   help="low-discrepancy sampler family (the reference's "
+                        "Independent/Halton/Stratified/LatinHypercube/"
+                        "VanDerCorput samplers, src/sampler.hpp)")
     p.add_argument("--chunk-lanes", type=int, default=1 << 20,
                    help="max wavefront lanes per device dispatch")
     p.add_argument("--devices", type=int, default=0,
                    help="shard over N devices (0 = all available)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("-d", "--debug-pixel", nargs=2, type=int,
+                   metavar=("X", "Y"),
+                   help="print a per-bounce trace of one pixel before "
+                        "rendering (reference -d, main.cpp:95-107)")
     return p
 
 
@@ -95,7 +104,8 @@ def main(argv=None) -> int:
 
     out.log(2, f"Loading scene from {args.config}")
     arrays, meta, _ = build_scene(cfg)
-    sampler_mode = 1 if args.sampler == "halton" else 0
+    from ..ops.sampler import MODE_NAMES
+    sampler_mode = MODE_NAMES[args.sampler]
 
     mesh = None
     if args.devices != 1:
@@ -118,6 +128,11 @@ def main(argv=None) -> int:
             continue
         cam = cfg.get_camera(rotation)
         cfg.post_check()
+        if args.debug_pixel is not None and frame == 0:
+            from ..integrator.debug import trace_pixel_debug
+            dx, dy = args.debug_pixel
+            trace_pixel_debug(arrays, meta, s, cam, dx, dy,
+                              seed=args.seed, sampler_mode=sampler_mode)
         driver = RenderDriver(s, arrays, meta, cam, seed=args.seed,
                               sampler_mode=sampler_mode,
                               chunk_lanes=args.chunk_lanes, mesh=mesh)

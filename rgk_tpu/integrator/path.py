@@ -430,7 +430,8 @@ def render_lanes(scene, meta, settings, cam, px, py, sample_idx, seed,
                 + px.astype(jnp.uint32))
     ctx = smp.SampleCtx(seed=jnp.uint32(seed), pixel=pixel_id,
                         sample=sample_idx.astype(jnp.uint32),
-                        mode=sampler_mode)
+                        mode=sampler_mode,
+                        n_set=max(1, int(settings.multisample)))
     return trace_wavefront(scene, meta, settings, cam, ctx, px, py,
                            differentiable=differentiable)
 

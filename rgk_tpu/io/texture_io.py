@@ -97,3 +97,84 @@ def _load_hdr(path: str) -> np.ndarray:
     out = mantissa * scale[..., None]
     out[exponent == 0] = 0.0
     return out.astype(np.float32)
+
+
+def gamma_encode(img: np.ndarray, gamma: float = GAMMA) -> np.ndarray:
+    return np.power(np.clip(img, 0.0, 1.0),
+                    1.0 / gamma).astype(np.float32)
+
+
+def _to_u8(img: np.ndarray, encode_gamma: bool) -> np.ndarray:
+    img = np.asarray(img, np.float32)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected [H,W,3] image, got {img.shape}")
+    if encode_gamma:
+        img = gamma_encode(img)
+    return (255.0 * np.clip(img, 0.0, 1.0)).astype(np.uint8)
+
+
+def write_png(path: str, img: np.ndarray,
+              encode_gamma: bool = False) -> None:
+    """Write [H,W,3] float image as 8-bit RGB PNG (reference
+    FileTexture::WriteToPNG, texture.cpp:125-140: 255*clamp per
+    channel).  Dependency-free (zlib + struct).  Set encode_gamma for
+    linear-radiance inputs."""
+    import struct
+    import zlib
+
+    u8 = _to_u8(img, encode_gamma)
+    h, w, _ = u8.shape
+    # filter byte 0 per scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), u8.reshape(h, w * 3)],
+        axis=1).tobytes()
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
+def write_bmp(path: str, img: np.ndarray,
+              encode_gamma: bool = False) -> None:
+    """Write [H,W,3] float image as 24-bit BMP: bottom-up BGR rows
+    padded to 4 bytes (reference FileTexture::WriteToBMP,
+    texture.cpp:141-187)."""
+    import struct
+
+    u8 = _to_u8(img, encode_gamma)
+    h, w, _ = u8.shape
+    pad = w % 4  # equals (4 - (3*w) % 4) % 4 for 24-bit rows
+    row_bytes = 3 * w + pad
+    size = 54 + h * row_bytes
+    header = struct.pack("<2sIHHIIiiHHIIIIII",
+                         b"BM", size, 0, 0, 54, 40, w, h, 1, 24, 0,
+                         h * row_bytes, 0, 0, 0, 0)
+    bgr = u8[::-1, :, ::-1]  # bottom-up, BGR
+    rows = np.concatenate(
+        [bgr.reshape(h, w * 3),
+         np.zeros((h, pad), np.uint8)], axis=1)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(rows.tobytes())
+
+
+def write_texture(path: str, img: np.ndarray,
+                  encode_gamma: bool = False) -> None:
+    """Dispatch on extension: PNG or BMP (reference
+    FileTexture::Write, texture.cpp:109-123) plus EXR."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".png":
+        write_png(path, img, encode_gamma)
+    elif ext == ".bmp":
+        write_bmp(path, img, encode_gamma)
+    elif ext == ".exr":
+        exr_io.write_exr(path, np.asarray(img, np.float32))
+    else:
+        raise ValueError(f"output file format '{ext}' is not supported")

@@ -32,19 +32,42 @@ _PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53)
 _U32 = jnp.uint32
 
 
+MODE_INDEPENDENT = 0   # reference IndependentSampler (sampler.hpp:22-40)
+MODE_HALTON = 1        # reference HaltonSampler (sampler.hpp:128-154)
+MODE_STRATIFIED = 2    # reference StratifiedSampler — the default
+#                        (sampler.cpp:77-116, path_tracer.cpp:49)
+MODE_LHS = 3           # reference LatinHypercubeSampler (sampler.cpp:38-58)
+MODE_VDC = 4           # reference VanDerCorputSampler (sampler.cpp:118-143)
+
+MODE_NAMES = {
+    "independent": MODE_INDEPENDENT,
+    "halton": MODE_HALTON,
+    "stratified": MODE_STRATIFIED,
+    "lhs": MODE_LHS,
+    "latin_hypercube": MODE_LHS,
+    "vandercorput": MODE_VDC,
+    "vdc": MODE_VDC,
+}
+
+
 class SampleCtx(NamedTuple):
     """Per-lane sampling context.
 
     seed:   scalar uint32 root seed (mixes run seed and round index)
     pixel:  uint32[...]  pixel index (y * xres + x) per lane
     sample: uint32[...]  global sample index per lane (round-unique)
-    mode:   int — 0 independent, 1 halton (static per trace)
+    mode:   int — one of MODE_* (static per trace)
+    n_set:  int — samples per stratification set (static; the round's
+            multisample count).  Stratified/LHS modes stratify the
+            sample's position within its set, mirroring the
+            reference's per-pixel prepared sample tables.
     """
 
     seed: jnp.ndarray
     pixel: jnp.ndarray
     sample: jnp.ndarray
     mode: int = 1
+    n_set: int = 1
 
 
 def _mix(x):
@@ -102,14 +125,99 @@ def _radical_inverse(index, base: int):
     return result
 
 
+def _permute(idx, n: int, key):
+    """Stateless pseudorandom permutation of [0, n) (Kensler-style
+    cycle-walking hash) — the counter-based stand-in for the
+    reference's per-dimension std::shuffle of prepared sample tables
+    (sampler.cpp:85-116).  idx: uint32 array; n static; key uint32."""
+    if n <= 1:
+        return jnp.zeros_like(idx)
+    # Round n up to a power of two and cycle-walk.
+    w = max(1, (n - 1).bit_length())
+    mask = _U32((1 << w) - 1)
+
+    def round_fn(x, k):
+        x = x ^ k
+        x = (x * _U32(0xE170893D)) & mask
+        x = x ^ (x >> max(1, w // 2))
+        x = (x * _U32(0x929E3149)) & mask
+        x = x ^ (x >> max(1, (w + 1) // 2))
+        return x & mask
+
+    x = idx.astype(_U32) & mask
+
+    # Cycle-walk: apply until in range.  With n up to 2^w < 2n, at
+    # most a handful of walks are needed; 4 fixed rounds of
+    # re-permutation keep it trace-static (out-of-range values walk
+    # again; in-range values are stable under the conditional).
+    for i in range(6):
+        k = _mix(key ^ _U32(0x9E3779B9 + i))
+        cand = round_fn(x, k)
+        x = jnp.where(x >= n, cand, x)
+    # Any stragglers (astronomically unlikely) fold by modulo.
+    return x % n
+
+
+def _stratified_1d(ctx: SampleCtx, dim: int):
+    """Per-(pixel, dim) shuffled 1-D strata + jitter
+    (reference StratifiedSampler 1D, sampler.cpp:77-95)."""
+    n = max(1, ctx.n_set)
+    s_local = ctx.sample % _U32(n)
+    key = hash_u32(ctx.pixel, jnp.uint32(dim), ctx.seed,
+                   ctx.sample // _U32(n))
+    stratum = _permute(s_local, n, key).astype(jnp.float32)
+    jit = hash01(ctx.pixel, ctx.sample, jnp.uint32(dim), ctx.seed)
+    return (stratum + jit) / jnp.float32(n)
+
+
+def _stratified_2d(ctx: SampleCtx, dim: int):
+    """sqrt(n) x sqrt(n) grid jitter (reference StratifiedSampler 2D,
+    sampler.cpp:96-116; the set size there is rounded up to a perfect
+    square — here strata permute within the round's set and map into
+    the grid)."""
+    import math
+
+    n = max(1, ctx.n_set)
+    n2 = int(math.ceil(math.sqrt(n)))
+    s_local = ctx.sample % _U32(n)
+    key = hash_u32(ctx.pixel, jnp.uint32(dim), ctx.seed,
+                   ctx.sample // _U32(n))
+    stratum = _permute(s_local, n2 * n2, key)
+    cx = (stratum % _U32(n2)).astype(jnp.float32)
+    cy = (stratum // _U32(n2)).astype(jnp.float32)
+    jx = hash01(ctx.pixel, ctx.sample, jnp.uint32(dim), ctx.seed)
+    jy = hash01(ctx.pixel, ctx.sample, jnp.uint32(dim + 1), ctx.seed)
+    return jnp.stack([(cx + jx) / n2, (cy + jy) / n2], axis=-1)
+
+
+def _lhs_1d(ctx: SampleCtx, dim: int):
+    """Latin hypercube: independent per-dim permutations of the strata
+    (reference LatinHypercubeSampler, sampler.cpp:38-58)."""
+    return _stratified_1d(ctx, dim)
+
+
+def _vdc_1d(ctx: SampleCtx, dim: int):
+    """Van der Corput base-2 with per-(pixel, dim) scramble
+    (reference VanDerCorputSampler, sampler.cpp:118-143)."""
+    scramble = hash_u32(ctx.pixel, jnp.uint32(dim), ctx.seed)
+    v = _radical_inverse(ctx.sample ^ scramble, 2)
+    shift = hash01(ctx.pixel, jnp.uint32(dim + 97), ctx.seed)
+    u = v + shift
+    return u - jnp.floor(u)
+
+
 def sample_1d(ctx: SampleCtx, dim: int):
     """Deterministic uniform [0,1) for (lane, dim).  `dim` is static."""
-    if ctx.mode == 1 and dim < len(_PRIMES):
+    if ctx.mode == MODE_HALTON and dim < len(_PRIMES):
         v = _radical_inverse(ctx.sample, _PRIMES[dim])
         # Cranley-Patterson rotation decorrelates pixels & dimensions.
         shift = hash01(ctx.pixel, jnp.uint32(dim), ctx.seed)
         u = v + shift
         u = u - jnp.floor(u)
+    elif ctx.mode in (MODE_STRATIFIED, MODE_LHS) and ctx.n_set > 1:
+        u = _stratified_1d(ctx, dim)
+    elif ctx.mode == MODE_VDC:
+        u = _vdc_1d(ctx, dim)
     else:
         u = _u32_to_unit_float(
             hash_u32(ctx.pixel, ctx.sample, jnp.uint32(dim), ctx.seed)
@@ -118,7 +226,13 @@ def sample_1d(ctx: SampleCtx, dim: int):
 
 
 def sample_2d(ctx: SampleCtx, dim: int):
-    """Deterministic uniform [0,1)^2 consuming dims (dim, dim+1)."""
+    """Deterministic uniform [0,1)^2 consuming dims (dim, dim+1).
+
+    Stratified mode uses the reference's sqrt(n)-grid 2-D strata;
+    LHS keeps independent per-dimension permutations (that IS the
+    Latin hypercube construction)."""
+    if ctx.mode == MODE_STRATIFIED and ctx.n_set > 1:
+        return _stratified_2d(ctx, dim)
     return jnp.stack([sample_1d(ctx, dim), sample_1d(ctx, dim + 1)], axis=-1)
 
 

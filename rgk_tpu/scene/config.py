@@ -401,6 +401,16 @@ def mtl_to_material(m, builder: SceneBuilder, texturedir: str) -> MaterialSpec:
 
 
 def load_config(path: str) -> Config:
+    """Load a scene config: JSON (ConfigJSON) or legacy line-based
+    `.rtc` (ConfigRTC).  Dispatch sniffs the content for `.rtc` files
+    because the reference's only in-repo .rtc (scenes/sponza.rtc)
+    actually contains JSON."""
+    if path.endswith(".rtc"):
+        with open(path, "r") as f:
+            head = f.read(64).lstrip()
+        if not head.startswith("{"):
+            from .rtc import ConfigRTC
+            return ConfigRTC(path)
     return Config(path)
 
 

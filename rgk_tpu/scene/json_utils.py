@@ -58,10 +58,17 @@ def strip_json_comments(text: str) -> str:
 
 
 def loads_tolerant(text: str) -> Any:
-    """Parse JSON allowing comments and trailing commas."""
+    """Parse JSON with jsoncpp's leniencies used by the reference's
+    scene corpus: comments, trailing commas, and numbers with leading
+    zeros (e.g. `000.0` in scenes/conference.json)."""
     text = strip_json_comments(text)
     text = re.sub(r",(\s*[}\]])", r"\1", text)
-    return json.loads(text)
+    # Leading zeros: 000.0 -> 0.0, -007 -> -7 (only outside strings —
+    # applied after a split that protects string literals).
+    parts = re.split(r'("(?:[^"\\]|\\.)*")', text)
+    for i in range(0, len(parts), 2):
+        parts[i] = re.sub(r"(?<![\w.])(-?)0+(\d)", r"\1\2", parts[i])
+    return json.loads("".join(parts))
 
 
 class Node:

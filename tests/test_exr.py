@@ -34,3 +34,40 @@ def test_accumulation_image():
     # Auto exposure maps the max channel to 1.
     scaled = acc.normalize(-1.0)
     np.testing.assert_allclose(scaled.max(), 1.0)
+
+
+def test_png_bmp_writers(tmp_path):
+    # Reference FileTexture::Write (texture.cpp:109-187): PNG and
+    # 24-bit bottom-up BGR BMP, 255*clamp per channel.
+    import numpy as np
+    from rgk_tpu.io.texture_io import (load_texture, write_bmp, write_png,
+                                       write_texture)
+    rng = np.random.RandomState(3)
+    img = rng.rand(21, 13, 3).astype(np.float32)  # odd width -> row pad
+    # the writer truncates like the reference's (char)(255*clamp)
+    q = np.floor(np.clip(img, 0, 1) * 255) / 255
+
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    back = load_texture(p)  # loader gamma-decodes 8-bit formats
+    assert np.abs(back - np.power(q, 2.2)).max() < 1e-2
+
+    b = str(tmp_path / "x.bmp")
+    write_bmp(b, img)
+    with open(b, "rb") as f:
+        head = f.read(54)
+    assert head[:2] == b"BM"
+    import struct
+    w, h = struct.unpack("<ii", head[18:26])
+    assert (w, h) == (13, 21)
+    bpp = struct.unpack("<H", head[28:30])[0]
+    assert bpp == 24
+    # bottom-up BGR: last row of file == first image row
+    from PIL import Image
+    arr = np.asarray(Image.open(b), np.float32) / 255.0
+    assert np.abs(arr - q).max() < 1e-6
+
+    write_texture(str(tmp_path / "y.exr"), img)
+    import pytest
+    with pytest.raises(ValueError):
+        write_texture(str(tmp_path / "y.gif"), img)

@@ -119,3 +119,60 @@ def test_halton_stratification():
     h, _, _ = np.histogram2d(pts[:, 0], pts[:, 1], bins=8,
                              range=[[0, 1], [0, 1]])
     assert h.min() >= 1, "Halton subpixel samples should cover all strata"
+
+
+def test_sampler_modes_uniform():
+    # All five sampler families stay uniform on [0,1).
+    for mode in (smp.MODE_INDEPENDENT, smp.MODE_HALTON, smp.MODE_STRATIFIED,
+                 smp.MODE_LHS, smp.MODE_VDC):
+        ctx = _ctx(mode)._replace(n_set=64)
+        for dim in (0, 3):
+            u = np.asarray(smp.sample_1d(ctx, dim))
+            assert u.min() >= 0.0 and u.max() < 1.0
+            assert abs(u.mean() - 0.5) < 0.02, (mode, dim)
+            assert abs(np.mean(u ** 2) - 1 / 3) < 0.02, (mode, dim)
+
+
+def test_stratified_coverage():
+    # One pixel, 64 samples: the stratified sampler's 1-D strata must
+    # cover every 1/64 interval (the reference's defining property,
+    # sampler.cpp:77-95), and the 2-D grid every 8x8 cell.
+    n = 64
+    ctx = smp.SampleCtx(seed=jnp.uint32(3),
+                        pixel=jnp.zeros(n, jnp.uint32),
+                        sample=jnp.arange(n, dtype=jnp.uint32),
+                        mode=smp.MODE_STRATIFIED, n_set=n)
+    u = np.asarray(smp.sample_1d(ctx, 4))
+    hist, _ = np.histogram(u, bins=n, range=(0, 1))
+    # Near-permutation (hash cycle-walk): allow a tiny duplicate tail.
+    assert (hist >= 1).mean() > 0.95
+    pts = np.asarray(smp.sample_2d(ctx, 0))
+    h2, _, _ = np.histogram2d(pts[:, 0], pts[:, 1], bins=8,
+                              range=[[0, 1], [0, 1]])
+    assert (h2 >= 1).mean() > 0.9
+
+
+def test_lhs_marginals():
+    # Latin hypercube: each 1-D marginal is stratified independently.
+    n = 64
+    ctx = smp.SampleCtx(seed=jnp.uint32(9),
+                        pixel=jnp.zeros(n, jnp.uint32),
+                        sample=jnp.arange(n, dtype=jnp.uint32),
+                        mode=smp.MODE_LHS, n_set=n)
+    pts = np.asarray(smp.sample_2d(ctx, 6))
+    for k in range(2):
+        hist, _ = np.histogram(pts[:, k], bins=n, range=(0, 1))
+        assert (hist >= 1).mean() > 0.95
+
+
+def test_vdc_low_discrepancy():
+    n = 256
+    ctx = smp.SampleCtx(seed=jnp.uint32(5),
+                        pixel=jnp.zeros(n, jnp.uint32),
+                        sample=jnp.arange(n, dtype=jnp.uint32),
+                        mode=smp.MODE_VDC, n_set=n)
+    u = np.sort(np.asarray(smp.sample_1d(ctx, 0)))
+    # Base-2 radical inverse of 0..255 is exactly the 256 lattice
+    # points (scrambled + rotated): star discrepancy stays tiny.
+    gaps = np.diff(np.concatenate([[0.0], u, [1.0]]))
+    assert gaps.max() < 3.0 / n
