@@ -137,7 +137,7 @@ class RenderDriver:
         # beyond — a progress metric, not radiometry.
         self._rays_dev = jnp.zeros((), jnp.float32)
 
-    def render_round(self, round_idx: int) -> None:
+    def render_round(self, round_idx: int, monitor=None) -> None:
         """Render every pixel x multisample once; accumulate on device."""
         for b in range(self.n_blocks):
             self._acc_dev, self._rays_dev = self._block_fn(
@@ -145,6 +145,8 @@ class RenderDriver:
                 self.scene, self.camera, self._px_dev[b], self._py_dev[b],
                 self._s_local, jnp.uint32(round_idx * self.ms),
                 jnp.uint32(self.seed), self._pix_idx_dev[b])
+            if monitor is not None:
+                monitor.add_blocks(1)
         self.stats.lanes += int(self._pad_mask.sum()) * self.ms
         self.stats.rounds += 1
 
@@ -161,13 +163,26 @@ class RenderDriver:
 
     def render_frame(self, out_path: Optional[str] = None) -> RenderStats:
         """Run the rounds/timed loop, writing the EXR progressively."""
+        from .monitor import FrameMonitor
+
         s = self.settings
         t0 = time.time()
         eta = LowPass()
         round_idx = 0
+        est_rounds = (1 if s.timed else max(1, int(s.rounds)))
+        monitor = FrameMonitor(self.n_blocks * est_rounds,
+                               enabled=out.get_verbosity() >= 2)
+        monitor.__enter__()
+        try:
+            return self._render_frame_loop(out_path, s, t0, eta, monitor)
+        finally:
+            monitor.__exit__()
+
+    def _render_frame_loop(self, out_path, s, t0, eta, monitor):
+        round_idx = 0
         while True:
             rt0 = time.time()
-            self.render_round(round_idx)
+            self.render_round(round_idx, monitor=monitor)
             round_idx += 1
             rt = time.time() - rt0
             self.stats.seconds = time.time() - t0
@@ -175,10 +190,17 @@ class RenderDriver:
                 self.fetch_accumulation()
                 self.acc.save(out_path, scale=s.output_scale)
                 self.save_checkpoint(out_path + ".ckpt.npz", round_idx)
+            monitor.set_rays(self.stats.rays)
             rays_s = self.stats.rays_per_sec
             if s.timed:
                 total = s.render_minutes * 60.0
                 left = total - self.stats.seconds
+                # Timed mode: re-estimate the block total from the
+                # measured pace so the bar tracks wall-clock progress.
+                monitor.total = max(
+                    monitor.done,
+                    int(round(self.n_blocks * round_idx
+                              * total / max(self.stats.seconds, 1e-6))))
                 out.log(2, f"Round {round_idx} in {rt:.1f}s | "
                            f"{format_int_thousands(int(rays_s))} rays/s | "
                            f"{format_time(max(0, left))} left")
