@@ -65,11 +65,18 @@ class RenderDriver:
         self.acc = AccumulationImage(xres, yres)
         self.stats = RenderStats()
 
-        # Pixel-block decomposition: ms samples per pixel per round;
-        # a chunk holds `block` pixels x ms lanes.
+        # Pixel-block decomposition.  The queued tracer (one lane per
+        # pixel, samples traced back-to-back — integrator/path.py
+        # trace_wavefront_queued) is used whenever there is no BDPT
+        # splatting and no mesh; it keeps lane occupancy near 100%
+        # where the per-sample wavefront pays max-depth sweeps on
+        # mostly-dead lanes.  BDPT / multi-device paths use the
+        # per-(pixel, sample) wavefront.
         ms = max(1, int(settings.multisample))
         self.ms = ms
-        block = max(1, self.chunk_lanes // ms)
+        self._queued = mesh is None and int(settings.reverse) == 0
+        block = (self.chunk_lanes if self._queued
+                 else max(1, self.chunk_lanes // ms))
         n_pixels = xres * yres
         self.block = min(block, n_pixels)
         if mesh is not None and self.block % mesh.n:
@@ -98,19 +105,33 @@ class RenderDriver:
         n_splat = int(settings.reverse) > 0
         hw = xres * yres
 
-        def _round_block(acc, rays_acc, scene_arg, cam, px, py, s_local,
-                         round_off, seed, pix_idx):
-            result = lane_fn(scene=scene_arg, cam=cam, px=px, py=py,
-                             sample_idx=s_local + round_off, seed=seed)
-            pix_sum = result.radiance.reshape(ms, -1, 3).sum(axis=0)
-            acc = acc.at[pix_idx].add(pix_sum)
-            if n_splat:
-                pix = result.splat_pix.reshape(-1)
-                val = result.splat_val.reshape(-1, 3)
-                good = pix >= 0
-                idx = jax.lax.optimization_barrier(jnp.where(good, pix, hw))
-                acc = acc.at[idx].add(jnp.where(good[..., None], val, 0.0))
-            return acc, rays_acc + result.rays.astype(jnp.float32)
+        if self._queued:
+            from ..integrator.path import trace_wavefront_queued
+
+            def _round_block(acc, rays_acc, scene_arg, cam, px, py,
+                             s_local, round_off, seed, pix_idx):
+                del s_local
+                rad, rays = trace_wavefront_queued(
+                    scene_arg, meta, settings, cam, px, py, round_off,
+                    ms, seed, sampler_mode=self.sampler_mode)
+                acc = acc.at[pix_idx].add(rad)
+                return acc, rays_acc + rays.astype(jnp.float32)
+        else:
+            def _round_block(acc, rays_acc, scene_arg, cam, px, py,
+                             s_local, round_off, seed, pix_idx):
+                result = lane_fn(scene=scene_arg, cam=cam, px=px, py=py,
+                                 sample_idx=s_local + round_off, seed=seed)
+                pix_sum = result.radiance.reshape(ms, -1, 3).sum(axis=0)
+                acc = acc.at[pix_idx].add(pix_sum)
+                if n_splat:
+                    pix = result.splat_pix.reshape(-1)
+                    val = result.splat_val.reshape(-1, 3)
+                    good = pix >= 0
+                    idx = jax.lax.optimization_barrier(
+                        jnp.where(good, pix, hw))
+                    acc = acc.at[idx].add(
+                        jnp.where(good[..., None], val, 0.0))
+                return acc, rays_acc + result.rays.astype(jnp.float32)
 
         self._block_fn = jax.jit(_round_block, donate_argnums=(0, 1))
 
@@ -125,10 +146,11 @@ class RenderDriver:
         self._px_dev = []
         self._py_dev = []
         self._pix_idx_dev = []
+        tile = 1 if self._queued else ms  # queued: one lane per pixel
         for b in range(self.n_blocks):
             s, e = b * self.block, (b + 1) * self.block
-            self._px_dev.append(jnp.asarray(np.tile(self._px[s:e], ms)))
-            self._py_dev.append(jnp.asarray(np.tile(self._py[s:e], ms)))
+            self._px_dev.append(jnp.asarray(np.tile(self._px[s:e], tile)))
+            self._py_dev.append(jnp.asarray(np.tile(self._py[s:e], tile)))
             self._pix_idx_dev.append(jnp.asarray(pix_idx[s:e]))
         self._s_local = jnp.asarray(np.repeat(
             np.arange(ms, dtype=np.uint32), self.block))

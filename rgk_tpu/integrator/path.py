@@ -210,6 +210,171 @@ def _extend_path(scene, meta, settings, tables, mat_pack, ctx, state,
     return new_state, sp, p0, act, state.contribution, sky_mask
 
 
+def _sample_path_light(scene, ctx):
+    """The path's single light sample (path_tracer.cpp:315-325)."""
+    areal2 = smp.sample_2d(ctx, smp.DIM_AREAL)
+    choice2 = smp.sample_2d(ctx, smp.DIM_LIGHT_CHOICE)
+    light1 = smp.sample_1d(ctx, smp.DIM_LIGHT_TRI)
+    light = light_ops.sample_light(scene, choice2, light1, areal2)
+    return light_ops.offset_sphere_light(light, areal2)
+
+
+def _vertex_radiance(scene, meta, settings, tables, mat_pack, intersect,
+                     light, sp, p0):
+    """NEE direct light + emission at one shaded vertex — the
+    per-vertex radiance of the eye walk (path_tracer.cpp:427-460,
+    485-487), exclusive of BDPT connections and the final clamp."""
+    to_light = light.pos - sp.pos
+    dist2 = jnp.maximum(vm.dot(to_light, to_light), 1e-12)
+    vi_l = to_light / jnp.sqrt(dist2)[..., None]
+    vis = isect.visibility(scene, intersect, light.pos, sp.pos)
+    f = bxdf_ops.eval_bxdf(scene, mat_pack, sp.mat_id,
+                           _to_local(sp, vi_l),
+                           _to_local(sp, sp.vr), sp.uv, tables,
+                           has_mix=meta.has_mix,
+                           has_ltc=meta.has_ltc,
+                           has_textures=meta.has_textures, p0=p0)
+    g = jnp.abs(vm.dot(sp.light_n, vi_l)) / dist2
+    inc = (light.color * light.intensity[..., None]
+           * light.directional_factor(-vi_l)[..., None])
+    total_here = jnp.where((vis & light.valid)[..., None],
+                           inc * f * g[..., None], 0.0)
+    # Emission (front side only) — from the packed row table.
+    emission = sp.mat_row[..., 0:3]
+    front = vm.dot(sp.face_n, sp.vr) > 0.0
+    return total_here + jnp.where(front[..., None], emission, 0.0)
+
+
+def trace_wavefront_queued(scene, meta, settings, cam, px, py,
+                           sample0, n_samples: int, seed,
+                           sampler_mode: int = 1):
+    """One lane per PIXEL; each lane traces `n_samples` paths
+    back-to-back (samples sample0 .. sample0+n_samples-1), starting
+    the next sample's camera ray on the iteration after a path dies.
+
+    This is the occupancy fix for the wavefront loop: with russian
+    roulette the mean path length is ~3 while the per-sample loop runs
+    to the *max* depth across 10^6 lanes, wasting ~70% of intersection
+    sweeps on dead lanes.  In-place regeneration keeps lanes busy with
+    no cross-lane compaction (no gathers/scatters); every per-sample
+    value is bitwise identical to the per-sample wavefront because
+    sampling is a pure function of (seed, pixel, sample, dim).
+
+    Requires reverse == 0 (BDPT paths use trace_wavefront).  Returns
+    (radiance_sum [R,3] over the lane's samples, rays traced).
+    """
+    assert int(settings.reverse) == 0
+    tables = ltc_ops.LTCTables(rows=scene.ltc_rows)
+    mat_pack = bxdf_ops.build_mat_pack(scene.materials)
+    intersect = isect.make_intersector(meta)
+    depth = int(settings.recursion_max)
+    russian = float(settings.russian)
+    clamp = float(settings.clamp)
+    R = px.shape[0]
+
+    pixel_id = (py.astype(jnp.uint32) * jnp.uint32(cam.xres)
+                + px.astype(jnp.uint32))
+    s_end = jnp.uint32(int(sample0) + n_samples) if isinstance(
+        sample0, int) else sample0 + jnp.uint32(n_samples)
+
+    def make_ctx(s):
+        return smp.SampleCtx(seed=jnp.uint32(seed), pixel=pixel_id,
+                             sample=s, mode=sampler_mode,
+                             n_set=max(1, int(settings.multisample)))
+
+    class _Q(NamedTuple):
+        ro: jnp.ndarray
+        rd: jnp.ndarray
+        last_tri: jnp.ndarray
+        contribution: jnp.ndarray
+        alive: jnp.ndarray
+        bounce: jnp.ndarray      # int32 [R] vertex counter within path
+        s: jnp.ndarray           # uint32 [R] current sample index
+        sample_rad: jnp.ndarray  # f32 [R,3] the in-flight sample's sum
+        radiance: jnp.ndarray    # f32 [R,3] flushed over finished samples
+        rays: jnp.ndarray        # int32 [] extension-ray counter
+
+    init = _Q(
+        ro=jnp.zeros((R, 3), jnp.float32),
+        rd=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                            (R, 3)),
+        last_tri=jnp.full((R,), -1, jnp.int32),
+        contribution=jnp.zeros((R, 3), jnp.float32),
+        alive=jnp.zeros((R,), bool),
+        bounce=jnp.zeros((R,), jnp.int32),
+        s=jnp.broadcast_to(jnp.uint32(sample0), (R,)),
+        sample_rad=jnp.zeros((R, 3), jnp.float32),
+        radiance=jnp.zeros((R, 3), jnp.float32),
+        rays=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(q):
+        return jnp.any(q.alive | (q.s < s_end))
+
+    def body(q):
+        # 1) (Re)start lanes that are idle but still have samples.
+        need = (~q.alive) & (q.s < s_end)
+        ctx = make_ctx(q.s)
+        jitter = smp.sample_2d(ctx, smp.DIM_PIXEL_JITTER)
+        if cam.is_simple:
+            ro0, rd0 = pixel_rays(cam, px, py, jitter)
+        else:
+            ro0, rd0 = pixel_rays(
+                cam, px, py, jitter,
+                lens_sample=smp.sample_2d(ctx, smp.DIM_LENS))
+        n3 = need[..., None]
+        state = SubpathState(
+            ro=jnp.where(n3, ro0, q.ro),
+            rd=jnp.where(n3, rd0, q.rd),
+            last_tri=jnp.where(need, -1, q.last_tri),
+            contribution=jnp.where(n3, 1.0, q.contribution),
+            alive=q.alive | need,
+            ray_count=q.rays,
+        )
+        bounce = jnp.where(need, 0, q.bounce)
+
+        # 2) This sample's light (same dims as the per-sample path).
+        light = _sample_path_light(scene, ctx)
+
+        # 3) One extension step; per-lane bounce index feeds the
+        #    per-bounce sample dims.
+        new_state, sp, p0, act, contrib, sky_mask = _extend_path(
+            scene, meta, settings, tables, mat_pack, ctx, state,
+            bounce.astype(jnp.uint32), bounce + 1, russian, tag=1)
+
+        # 4) Radiance at this vertex: sky escape or NEE + emission.
+        sky = tex_ops.sky_radiance(scene, -state.rd,
+                                   has_envmap=meta.has_envmap)
+        sample_rad = q.sample_rad + jnp.where(sky_mask[..., None],
+                                              contrib * sky, 0.0)
+        total_here = _vertex_radiance(scene, meta, settings, tables,
+                                      mat_pack, intersect, light, sp, p0)
+        total_here = jnp.minimum(total_here, clamp)
+        sample_rad = sample_rad + jnp.where(act[..., None],
+                                            contrib * total_here, 0.0)
+
+        # 5) Depth termination; finished paths flush the sample with
+        #    the reference's whole-sample clamp + NaN/negative scrub
+        #    (path_tracer.cpp:502-507) and advance to the next sample.
+        alive_after = new_state.alive & (bounce + 1 < depth)
+        ended = state.alive & ~alive_after
+        flushed = jnp.minimum(sample_rad, clamp)
+        flushed = jnp.where(jnp.isnan(flushed) | (flushed < 0.0), 0.0,
+                            flushed)
+        e3 = ended[..., None]
+        return _Q(ro=new_state.ro, rd=new_state.rd,
+                  last_tri=new_state.last_tri,
+                  contribution=new_state.contribution,
+                  alive=alive_after, bounce=bounce + 1,
+                  s=jnp.where(ended, q.s + jnp.uint32(1), q.s),
+                  sample_rad=jnp.where(e3, 0.0, sample_rad),
+                  radiance=q.radiance + jnp.where(e3, flushed, 0.0),
+                  rays=new_state.ray_count)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.radiance, final.rays
+
+
 def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
                     differentiable: bool = False) -> TraceResult:
     """Trace one eye path (and optional light subpath) per lane.
@@ -333,22 +498,9 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
         radiance = radiance + jnp.where(sky_mask[..., None],
                                         contrib * sky, 0.0)
 
-        # NEE: direct light (path_tracer.cpp:427-460)
-        to_light = light.pos - sp.pos
-        dist2 = jnp.maximum(vm.dot(to_light, to_light), 1e-12)
-        vi_l = to_light / jnp.sqrt(dist2)[..., None]
-        vis = isect.visibility(scene, intersect, light.pos, sp.pos)
-        f = bxdf_ops.eval_bxdf(scene, mat_pack, sp.mat_id,
-                               _to_local(sp, vi_l),
-                               _to_local(sp, sp.vr), sp.uv, tables,
-                               has_mix=meta.has_mix,
-                               has_ltc=meta.has_ltc,
-                               has_textures=meta.has_textures, p0=p0)
-        g = jnp.abs(vm.dot(sp.light_n, vi_l)) / dist2
-        inc = (light.color * light.intensity[..., None]
-               * light.directional_factor(-vi_l)[..., None])
-        total_here = jnp.where((vis & light.valid)[..., None],
-                               inc * f * g[..., None], 0.0)
+        # NEE direct light + emission (path_tracer.cpp:427-460, 485-487)
+        total_here = _vertex_radiance(scene, meta, settings, tables,
+                                      mat_pack, intersect, light, sp, p0)
 
         # BDPT connections to every light vertex
         # (path_tracer.cpp:463-480)
@@ -381,11 +533,6 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
                                        term, 0.0)
 
             total_here = jax.lax.fori_loop(0, reverse, connect, total_here)
-
-        # Emission (front side only) — from the packed row table
-        emission = sp.mat_row[..., 0:3]
-        front = vm.dot(sp.face_n, sp.vr) > 0.0
-        total_here = total_here + jnp.where(front[..., None], emission, 0.0)
 
         total_here = jnp.minimum(total_here, clamp)
         radiance = radiance + jnp.where(act[..., None],
