@@ -72,25 +72,21 @@ def sample_light(scene, choice2, light1, tri2) -> LightSample:
     a_idx = jnp.clip(a_idx, 0, lt.areal_tri.shape[0] - 1).astype(jnp.int32)
 
     # Row-packed gathers (1-D scalar-table gathers are a TPU slow
-    # path, see vecmath.take_rows).
+    # path, see vecmath.take_rows).  The queued tracer samples the
+    # light every bounce iteration, so everything areal comes from ONE
+    # de-indexed row fetch (LightTable.areal_rows) rather than an
+    # index chain through tri_meta/vertices/normals.
     point_pack = jax.lax.optimization_barrier(jnp.concatenate([
         lt.point_pos, lt.point_color,
         lt.point_intensity[:, None], lt.point_size[:, None]], axis=1))
     prow = vm.take_rows(point_pack, p_idx)
 
-    areal_pack = jax.lax.optimization_barrier(jnp.concatenate([
-        lt.areal_tri[:, None].astype(jnp.int32),
-        jnp.zeros((lt.areal_tri.shape[0], 1), jnp.int32)], axis=1))
-    tri = vm.take_rows(areal_pack, a_idx)[..., 0]
-    a_em = vm.take_rows(lt.areal_emission, a_idx)
-
-    vidx = vm.take_rows(scene.tri_meta, tri)[..., 0:3]
-    a = vm.take_rows(scene.vertices, vidx[..., 0])
-    b = vm.take_rows(scene.vertices, vidx[..., 1])
-    c = vm.take_rows(scene.vertices, vidx[..., 2])
-    tri_pos = warps.to_triangle_uniform(tri2, a, b, c)
+    arow = vm.take_rows(lt.areal_rows, a_idx)
+    a_em = arow[..., 12:15]
+    tri_pos = warps.to_triangle_uniform(tri2, arow[..., 0:3],
+                                        arow[..., 3:6], arow[..., 6:9])
     # Reference uses vertex A's (shading) normal (scene.cpp:738).
-    tri_normal = vm.take_rows(scene.normals, vidx[..., 0])
+    tri_normal = arow[..., 9:12]
 
     cp = choose_point[..., None]
     return LightSample(

@@ -90,6 +90,11 @@ class LightTable(NamedTuple):
     areal_tri: jnp.ndarray        # int32 [K] triangle indices
     areal_cum: jnp.ndarray        # f32 [K] inclusive prefix of weight
     areal_emission: jnp.ndarray   # f32 [K,3] group emission radiance
+    # De-indexed per-areal-triangle rows (va, vb, vc, normal_a,
+    # emission) [K, 15]: the queued tracer samples the path light
+    # every loop iteration, so the areal pick must be ONE row-fetch,
+    # not a tri->vertices indirection chain of five.
+    areal_rows: jnp.ndarray       # f32 [K, 15]
     total_point_power: jnp.ndarray  # f32 []
     total_areal_power: jnp.ndarray  # f32 []
 

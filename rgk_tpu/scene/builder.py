@@ -328,7 +328,7 @@ class SceneBuilder:
 
         materials = self._pack_materials()
         textures = self._pack_textures()
-        lights = self._pack_lights(vertices, tri_vidx)
+        lights = self._pack_lights(vertices, normals, tri_vidx)
 
         # The GEMM-form brute sweep beats tree traversal up to a few
         # thousand triangles on TPU (no gathers, pure matmul +
@@ -450,7 +450,7 @@ class SceneBuilder:
             desc=_i32(np.asarray(descs)),
         )
 
-    def _pack_lights(self, vertices, tri_vidx) -> LightTable:
+    def _pack_lights(self, vertices, normals, tri_vidx) -> LightTable:
         # Point lights: power = intensity * 4*pi (scene.cpp:344-347).
         if self.point_lights:
             p_pos = np.stack([l["pos"] for l in self.point_lights])
@@ -493,6 +493,18 @@ class SceneBuilder:
             a_w = np.zeros(1, np.float32)
             a_em = np.zeros((1, 3), np.float32)
 
+        # De-indexed rows: vertices + vertex-A shading normal +
+        # emission per emissive triangle (scene.cpp:725-745 semantics).
+        n_a = a_tri.shape[0]
+        a_rows = np.zeros((n_a, 15), np.float32)
+        if self._tri_count:
+            tidx = np.clip(a_tri, 0, tri_vidx.shape[0] - 1)
+            a_rows[:, 0:3] = vertices[tri_vidx[tidx, 0]]
+            a_rows[:, 3:6] = vertices[tri_vidx[tidx, 1]]
+            a_rows[:, 6:9] = vertices[tri_vidx[tidx, 2]]
+            a_rows[:, 9:12] = normals[tri_vidx[tidx, 0]]
+        a_rows[:, 12:15] = a_em
+
         out.log(3, f"Total areal lights power: {total_areal}W")
         out.log(3, f"Total point lights power: {total_point}W")
 
@@ -505,6 +517,7 @@ class SceneBuilder:
             areal_tri=_i32(a_tri),
             areal_cum=_f32(np.cumsum(a_w)),
             areal_emission=_f32(a_em),
+            areal_rows=_f32(a_rows),
             total_point_power=_f32(total_point),
             total_areal_power=_f32(total_areal),
         )
