@@ -67,7 +67,9 @@ void* rgk_obj_load(const char* path) {
     if (it != group_ids.end()) return it->second;
     int32_t id = d->n_groups++;
     group_ids.emplace(name, id);
-    if (!d->group_blob.empty()) d->group_blob += '\n';
+    // Join by id, not by blob emptiness: the implicit unnamed group
+    // ("") must still occupy a blob slot or ids and names misalign.
+    if (id > 0) d->group_blob += '\n';
     d->group_blob += name;
     return id;
   };

@@ -93,6 +93,10 @@ def tokenize_obj(path: str):
                          group.ctypes.data_as(ip), group_blob, mtllib_blob)
         group_names = (group_blob.raw[:gb].decode(errors="replace")
                        .split("\n") if gb else [])
+        if len(group_names) < ng:
+            # A solitary unnamed group ("") produces an empty blob;
+            # pad so ids keep a name slot.
+            group_names += [""] * (ng - len(group_names))
         mtllibs = (mtllib_blob.raw[:mb].decode(errors="replace")
                    .split("\n") if mb else [])
         return pos, uv, nrm, corners, group, group_names, mtllibs

@@ -33,7 +33,10 @@ import jax.numpy as jnp
 
 from . import vecmath as vm
 
-BIG = jnp.float32(3.4e38)
+# Plain float, NOT jnp.float32: a module-level concrete array would
+# initialize the JAX backend at import time, breaking later platform
+# selection (e.g. the CLI's --cpu).
+BIG = 3.4e38
 _PARALLEL_EPS = 1e-9
 
 

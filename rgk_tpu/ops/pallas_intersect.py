@@ -36,20 +36,23 @@ DEFAULT_BLOCK = 2048
 _BIG = 3.4e38
 
 
-def _kernel(pack_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
-            rdz_ref, tmin_ref, tmax_ref, excl_ref,
-            t_ref, idx_ref, bb_ref, bc_ref):
+# Sublane tile of the triangle sweep.  [MT, BLK] planes must fit VMEM
+# alongside the pack: MT * BLK * 4 B * ~6 live planes — 256 x 2048
+# keeps the working set ~12 MB below the 16 MB budget (a single
+# untiled sweep OOMs VMEM beyond ~1k triangles).
+M_TILE = 256
+
+
+def _sweep_tile(pack_tile, base_id, rays, tmin, tmax, excl, state):
+    """One [MT, BLK] Badouel sweep merged into running best state."""
+    rox, roy, roz, rdx, rdy, rdz = rays
+    best_t, best_i, best_b, best_c = state
+
     def coef(j):
-        return pack_ref[:, j][:, None]  # [Mp, 1]
-
-    def ray(ref):
-        return ref[...][None, :]        # [1, BLK]
-
-    rox, roy, roz = ray(rox_ref), ray(roy_ref), ray(roz_ref)
-    rdx, rdy, rdz = ray(rdx_ref), ray(rdy_ref), ray(rdz_ref)
+        return pack_tile[:, j][:, None]  # [MT, 1]
 
     nx, ny, nz, d = coef(0), coef(1), coef(2), coef(3)
-    rddn = rdx * nx + rdy * ny + rdz * nz          # [Mp, BLK]
+    rddn = rdx * nx + rdy * ny + rdz * nz          # [MT, BLK]
     rodn = rox * nx + roy * ny + roz * nz + d
     safe = jnp.abs(rddn) > _PARALLEL_EPS
     t = -rodn / jnp.where(safe, rddn, 1.0)
@@ -62,26 +65,69 @@ def _kernel(pack_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
              + t * (rdx * gvx + rdy * gvy + rdz * gvz))
 
     glass = coef(12) > 0.5
-    tri_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    tri_ids = base_id + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
     ok = (safe & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
-          & (t > tmin_ref[...][None, :]) & (t < tmax_ref[...][None, :])
-          & ~glass & (tri_ids != excl_ref[...][None, :]))
+          & (t > tmin) & (t < tmax) & ~glass & (tri_ids != excl))
 
     t_sel = jnp.where(ok, t, _BIG)
-    best_t = jnp.min(t_sel, axis=0)                      # [BLK]
-    onehot = t_sel == best_t[None, :]
+    tile_t = jnp.min(t_sel, axis=0)                      # [BLK]
+    onehot = t_sel == tile_t[None, :]
     # First matching triangle wins ties (argmin semantics).
-    best_i = jnp.min(jnp.where(onehot, tri_ids, jnp.int32(0x7FFFFFFF)),
+    tile_i = jnp.min(jnp.where(onehot, tri_ids, jnp.int32(0x7FFFFFFF)),
                      axis=0)
-    first = tri_ids == best_i[None, :]
+    first = tri_ids == tile_i[None, :]
+    tile_b = jnp.sum(jnp.where(first, beta, 0.0), axis=0)
+    tile_c = jnp.sum(jnp.where(first, gamma, 0.0), axis=0)
+
+    # Tiles sweep ascending triangle ids, so a strict < keeps the
+    # lowest-index winner on exact t ties.
+    win = tile_t < best_t
+    return (jnp.where(win, tile_t, best_t),
+            jnp.where(win, tile_i, best_i),
+            jnp.where(win, tile_b, best_b),
+            jnp.where(win, tile_c, best_c))
+
+
+def _kernel(pack_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
+            rdz_ref, tmin_ref, tmax_ref, excl_ref,
+            t_ref, idx_ref, bb_ref, bc_ref):
+    def ray(ref):
+        return ref[...][None, :]        # [1, BLK]
+
+    rays = (ray(rox_ref), ray(roy_ref), ray(roz_ref),
+            ray(rdx_ref), ray(rdy_ref), ray(rdz_ref))
+    tmin = tmin_ref[...][None, :]
+    tmax = tmax_ref[...][None, :]
+    excl = excl_ref[...][None, :]
+
+    blk = rox_ref.shape[0]
+    mp = pack_ref.shape[0]
+    state = (jnp.full((blk,), _BIG, jnp.float32),
+             jnp.full((blk,), 0x7FFFFFFF, jnp.int32),
+             jnp.zeros((blk,), jnp.float32),
+             jnp.zeros((blk,), jnp.float32))
+    if mp <= M_TILE:
+        state = _sweep_tile(pack_ref[...], jnp.int32(0), rays, tmin,
+                            tmax, excl, state)
+    else:
+        # fori_loop (not an unrolled Python loop): Mosaic reuses one
+        # tile's temporaries across iterations; unrolling kept every
+        # tile's [MT, BLK] planes live and OOMed scoped VMEM.
+        assert mp % M_TILE == 0, "pack must be padded to M_TILE"
+
+        def tile_step(i, st):
+            tile = pack_ref[pl.ds(i * M_TILE, M_TILE), :]
+            return _sweep_tile(tile, i * M_TILE, rays, tmin, tmax,
+                               excl, st)
+
+        state = jax.lax.fori_loop(0, mp // M_TILE, tile_step, state)
+    best_t, best_i, best_b, best_c = state
     found = best_t < _BIG
 
     t_ref[...] = best_t
     idx_ref[...] = jnp.where(found, best_i, -1)
-    bb_ref[...] = jnp.where(
-        found, jnp.sum(jnp.where(first, beta, 0.0), axis=0), 0.0)
-    bc_ref[...] = jnp.where(
-        found, jnp.sum(jnp.where(first, gamma, 0.0), axis=0), 0.0)
+    bb_ref[...] = jnp.where(found, best_b, 0.0)
+    bc_ref[...] = jnp.where(found, best_c, 0.0)
 
 
 def prepare_pack_mp(tri_pack: np.ndarray) -> np.ndarray:
@@ -94,7 +140,11 @@ def prepare_pack_mp(tri_pack: np.ndarray) -> np.ndarray:
     if pack.shape[1] < 13:  # no thin-glass column
         pack = np.concatenate(
             [pack, np.zeros((m, 1), np.float32)], axis=1)
+    # Pad to a sublane multiple; multi-tile packs pad to whole M_TILEs
+    # for the kernel's fori_loop over tiles.
     mp = max(8, -(-m // 8) * 8)
+    if mp > M_TILE:
+        mp = -(-m // M_TILE) * M_TILE
     out = np.zeros((mp, 16), np.float32)
     out[:m, :13] = pack
     out[m:, 12] = 1.0  # padding rows masked as glass

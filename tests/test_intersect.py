@@ -114,3 +114,33 @@ def test_render_brute_vs_bvh(reference_scenes):
     r2, c2, _ = render_image_round(a_bvh, meta_v, cfg2.settings, cam, 0)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_flat_matches_brute_multi_tile():
+    """Interpret-mode run of the Pallas flat kernel vs the GEMM oracle
+    on a soup wider than one M_TILE (regression: the untiled sweep
+    OOMed VMEM beyond ~1k triangles)."""
+    import jax
+
+    from rgk_tpu.ops.pallas_intersect import (M_TILE, intersect_pallas,
+                                              prepare_pack_mp)
+
+    n_tris = M_TILE * 2 + 57  # forces multi-tile merging + a ragged tail
+    verts, tris = _random_soup(n_tris, seed=11)
+    scene = _MiniScene(verts, tris)
+    scene.pack_mp = jnp.asarray(prepare_pack_mp(np.asarray(scene.tri_pack)))
+    ro, rd = _random_rays(512, seed=12)
+
+    hb = intersect_brute(scene, ro, rd, 0.0, 1e4)
+    hp = intersect_pallas(scene, ro, rd, 0.0, 1e4, block=256,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb.tri), np.asarray(hp.tri))
+    hit = np.asarray(hb.tri) >= 0
+    assert hit.mean() > 0.05
+    np.testing.assert_allclose(np.asarray(hb.t)[hit], np.asarray(hp.t)[hit],
+                               rtol=3e-4, atol=1e-6)
+    # exclusion plumbs through the kernel
+    hp2 = intersect_pallas(scene, ro, rd, 0.0, 1e4, exclude=hb.tri,
+                           block=256, interpret=True)
+    e = np.asarray(hb.tri)
+    assert not np.any((np.asarray(hp2.tri) == e) & (e >= 0))

@@ -79,3 +79,16 @@ def test_multihost_single_process():
     img = np.arange(12.0).reshape(2, 2, 3)
     np.testing.assert_array_equal(mh.allreduce_image(img), img)
     assert mh.broadcast_scalar(3.5) == 3.5
+
+
+def test_native_unnamed_group(tmp_path):
+    """Faces before any usemtl form an implicit unnamed group; the
+    native tokenizer must keep a name slot for it (regression: the
+    blob join dropped solitary empty names, losing every mesh)."""
+    p = tmp_path / "noname.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+                 "f 1 2 3\nusemtl M\nf 2 4 3\n")
+    for native in (False, True):
+        meshes, _ = load_obj(str(p), use_native=native)
+        mats = sorted(m.material for m in meshes)
+        assert mats == ["", "M"], (native, mats)
