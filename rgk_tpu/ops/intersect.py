@@ -222,7 +222,17 @@ def make_intersector(meta):
     GEMM sweep elsewhere; BVH scenes use the stackless traversal.
     """
     if meta.has_bvh:
-        return intersect_bvh
+        def tree(scene, ro, rd, t_min, t_max, exclude=None,
+                 any_hit=False):
+            if jax.default_backend() == "tpu":
+                from .pallas_cluster import intersect_clusters
+                return intersect_clusters(scene, ro, rd, t_min, t_max,
+                                          exclude=exclude,
+                                          any_hit=any_hit)
+            return intersect_bvh(scene, ro, rd, t_min, t_max,
+                                 exclude=exclude, any_hit=any_hit)
+
+        return tree
 
     def flat(scene, ro, rd, t_min, t_max, exclude=None, any_hit=False):
         if jax.default_backend() == "tpu":

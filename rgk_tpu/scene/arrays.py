@@ -109,6 +109,16 @@ class BVHArrays(NamedTuple):
     prim_idx: jnp.ndarray   # int32 [M] leaf->triangle permutation
 
 
+class ClusterArrays(NamedTuple):
+    """Two-level cluster structure (scene/clusters.py): a VMEM-sized
+    skip-link tree over fixed-size triangle clusters whose Badouel
+    rows stream from HBM per visited leaf (ops/pallas_cluster.py)."""
+    node_min: jnp.ndarray   # f32 [NC,3]
+    node_max: jnp.ndarray   # f32 [NC,3]
+    node_meta: jnp.ndarray  # int32 [NC,3] = (cluster|left, count, skip)
+    pack: jnp.ndarray       # f32 [K*16, 128] coefficient-major cluster tiles
+
+
 class SceneArrays(NamedTuple):
     vertices: jnp.ndarray   # f32 [V,3]
     normals: jnp.ndarray    # f32 [V,3]
@@ -145,6 +155,7 @@ class SceneArrays(NamedTuple):
     textures: TextureAtlas
     lights: LightTable
     bvh: BVHArrays
+    clusters: ClusterArrays
     # Sky (reference scene.cpp GetSkyboxRay): constant color or latlong
     # envmap with Y rotation; sky_tex < 0 selects the constant.
     sky_color: jnp.ndarray      # f32 [3]

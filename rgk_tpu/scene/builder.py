@@ -333,11 +333,18 @@ class SceneBuilder:
         # The GEMM-form brute sweep beats tree traversal up to a few
         # thousand triangles on TPU (no gathers, pure matmul +
         # elementwise); only larger scenes get the BVH.
+        pack_glass = append_thinglass_column(
+            build_tri_pack(vertices, tri_vidx), tri_mat,
+            np.asarray([m.is_thinglass for m in self.materials], bool))
         if build_bvh and self._tri_count > bvh_threshold:
             from .bvh import build_bvh as _build
+            from .clusters import build_clusters
             bvh = _build(vertices, tri_vidx, leaf_size=bvh_leaf_size)
+            clusters = build_clusters(vertices, tri_vidx, pack_glass)
             has_bvh = True
         else:
+            from .clusters import empty_clusters
+            clusters = empty_clusters()
             bvh = BVHArrays(
                 node_min=_f32(np.zeros((1, 3))),
                 node_max=_f32(np.zeros((1, 3))),
@@ -354,10 +361,7 @@ class SceneBuilder:
             tri_vidx=_i32(tri_vidx),
             tri_mat=_i32(tri_mat),
             tri_normal=_f32(tri_normal),
-            tri_pack=_f32(append_thinglass_column(
-                build_tri_pack(vertices, tri_vidx), tri_mat,
-                np.asarray([m.is_thinglass for m in self.materials],
-                           bool))),
+            tri_pack=_f32(pack_glass),
             tri_meta=_i32(np.concatenate(
                 [tri_vidx, tri_mat[:, None]], axis=1)),
             tri_shade=_f32(np.concatenate([
@@ -371,15 +375,13 @@ class SceneBuilder:
                 [a, b, c], axis=1)),
             ltc_rows=_ltc_rows(),
             pack_mp=_pack_mp_or_empty(
-                append_thinglass_column(
-                    build_tri_pack(vertices, tri_vidx), tri_mat,
-                    np.asarray([m.is_thinglass for m in self.materials],
-                               bool)),
+                pack_glass,
                 flat=not (build_bvh and self._tri_count > bvh_threshold)),
             materials=materials,
             textures=textures,
             lights=lights,
             bvh=bvh,
+            clusters=clusters,
             sky_color=_f32(self.sky_color),
             sky_intensity=_f32(self.sky_intensity),
             sky_rotate=_f32(self.sky_rotate),

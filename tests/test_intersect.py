@@ -144,3 +144,45 @@ def test_pallas_flat_matches_brute_multi_tile():
                            block=256, interpret=True)
     e = np.asarray(hb.tri)
     assert not np.any((np.asarray(hp2.tri) == e) & (e >= 0))
+
+
+def _cluster_scene(n_tris, seed):
+    from rgk_tpu.scene.clusters import build_clusters
+    verts, tris = _random_soup(n_tris, seed=seed)
+    scene = _MiniScene(verts, tris)
+    scene.clusters = build_clusters(verts, tris,
+                                    np.asarray(scene.tri_pack))
+    return scene
+
+
+def test_cluster_kernel_matches_brute():
+    """Interpret-mode cluster-BVH kernel vs the GEMM oracle on a soup
+    spanning many clusters (closest hit, exclusion, any-hit)."""
+    from rgk_tpu.ops.pallas_cluster import intersect_clusters
+
+    scene = _cluster_scene(1000, seed=21)
+    ro, rd = _random_rays(512, seed=22)
+
+    hb = intersect_brute(scene, ro, rd, 0.0, 1e4)
+    hc = intersect_clusters(scene, ro, rd, 0.0, 1e4, block=256,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb.tri), np.asarray(hc.tri))
+    hit = np.asarray(hb.tri) >= 0
+    assert hit.mean() > 0.05
+    np.testing.assert_allclose(np.asarray(hb.t)[hit], np.asarray(hc.t)[hit],
+                               rtol=3e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hb.bary_b)[hit],
+                               np.asarray(hc.bary_b)[hit], atol=1e-4)
+
+    # exclusion
+    hc2 = intersect_clusters(scene, ro, rd, 0.0, 1e4, exclude=hb.tri,
+                             block=256, interpret=True)
+    e = np.asarray(hb.tri)
+    assert not np.any((np.asarray(hc2.tri) == e) & (e >= 0))
+
+    # any-hit agrees on occlusion
+    hb3 = intersect_brute(scene, ro, rd, 0.1, 20.0)
+    hc3 = intersect_clusters(scene, ro, rd, 0.1, 20.0, any_hit=True,
+                             block=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb3.tri) >= 0,
+                                  np.asarray(hc3.tri) >= 0)
