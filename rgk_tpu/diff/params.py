@@ -48,10 +48,15 @@ def apply_params(scene, params: Dict[str, jnp.ndarray]):
     """Rebuild SceneArrays with `params` substituted.
 
     Derived quantities are kept consistent:
-    * areal_emission follows the owning material's emission (so
-      emission gradients reach NEE and BDPT light-path radiance);
-    * light power prefix tables follow intensity/emission but are
-      stop_gradient-ed (sampling distribution = detached).
+    * the emission columns of the de-indexed areal-light rows
+      (LightTable.areal_rows[:, 12:15] — the values NEE and BDPT
+      light-path radiance actually read, ops/lights.py sample_light)
+      follow the owning material's emission, so emission gradients
+      reach direct lighting;
+    * light power prefix tables (point_cum, areal_cum, totals) follow
+      intensity/emission but are stop_gradient-ed: the sampling
+      distribution is detached — changing it alters the estimator's
+      variance, not its expectation — and stays fixed under autodiff.
     """
     mats = scene.materials._replace(
         diffuse=params["mat_diffuse"],
@@ -62,18 +67,30 @@ def apply_params(scene, params: Dict[str, jnp.ndarray]):
     textures = scene.textures._replace(texels=params["texels"])
 
     lights = scene.lights
-    # Re-derive areal emission from the (possibly updated) materials.
+    # Re-derive areal emission from the (possibly updated) materials
+    # and write it into the de-indexed rows the sampler reads.
     areal_mat = scene.tri_mat[lights.areal_tri]
     areal_emission = params["mat_emission"][areal_mat]
+    areal_rows = lights.areal_rows.at[:, 12:15].set(areal_emission)
 
     sg = jax.lax.stop_gradient
     point_power = params["light_intensity"] * (4.0 * jnp.pi)
+    # Areal pick weight = area * sum(emission) (scene.cpp:323-347);
+    # areas recomputed from the row vertices so the prefix table stays
+    # consistent with updated emission (detached, see above).
+    va = lights.areal_rows[:, 0:3]
+    vb = lights.areal_rows[:, 3:6]
+    vc = lights.areal_rows[:, 6:9]
+    areas = 0.5 * jnp.linalg.norm(jnp.cross(va - vb, vc - vb), axis=-1)
+    areal_power = areas * areal_emission.sum(axis=-1)
     lights = lights._replace(
         point_color=params["light_color"],
         point_intensity=params["light_intensity"],
         point_cum=sg(jnp.cumsum(point_power)),
         total_point_power=sg(point_power.sum()),
-        areal_emission=areal_emission,
+        areal_rows=areal_rows,
+        areal_cum=sg(jnp.cumsum(areal_power)),
+        total_areal_power=sg(areal_power.sum()),
     )
     return scene._replace(
         materials=mats,

@@ -64,6 +64,10 @@ class RenderDriver:
         xres, yres = camera.xres, camera.yres
         self.acc = AccumulationImage(xres, yres)
         self.stats = RenderStats()
+        # First round index to render; load_checkpoint advances it so a
+        # resumed render traces FRESH (round x ms) sample indices
+        # instead of re-tracing the ones already in the accumulator.
+        self.start_round = 0
 
         # Pixel-block decomposition.  The queued tracer (one lane per
         # pixel, samples traced back-to-back — integrator/path.py
@@ -190,8 +194,8 @@ class RenderDriver:
         s = self.settings
         t0 = time.time()
         eta = LowPass()
-        round_idx = 0
-        est_rounds = (1 if s.timed else max(1, int(s.rounds)))
+        est_rounds = (1 if s.timed
+                      else max(1, int(s.rounds) - self.start_round))
         monitor = FrameMonitor(self.n_blocks * est_rounds,
                                enabled=out.get_verbosity() >= 2)
         monitor.__enter__()
@@ -201,7 +205,7 @@ class RenderDriver:
             monitor.__exit__()
 
     def _render_frame_loop(self, out_path, s, t0, eta, monitor):
-        round_idx = 0
+        round_idx = self.start_round
         while True:
             rt0 = time.time()
             self.render_round(round_idx, monitor=monitor)
@@ -264,4 +268,5 @@ class RenderDriver:
         flat[:-1] = np.asarray(d["sum"], np.float32).reshape(-1, 3)
         self._acc_dev = jnp.asarray(flat)
         self._rays_dev = jnp.float32(self.stats.rays)
-        return int(d["next_round"])
+        self.start_round = int(d["next_round"])
+        return self.start_round

@@ -97,9 +97,16 @@ def _shade_point(scene, meta, settings, hit, ro, rd, mat_pack) -> ShadePoint:
     wa = ba[..., None]
     wb = hit.bary_b[..., None]
     wc = hit.bary_c[..., None]
-    face_n_raw = (wa * srow[..., 0:3] + wb * srow[..., 3:6]
-                  + wc * srow[..., 6:9])
-    n_ok = vm.dot(face_n_raw, face_n_raw) > 0.0
+    na, nb, nc = srow[..., 0:3], srow[..., 3:6], srow[..., 6:9]
+    face_n_raw = wa * na + wb * nb + wc * nc
+    # NaN-normal fallback chain (path_tracer.cpp:157-171): a NaN
+    # interpolation (imperfect meshes, merged vertices) falls back to
+    # vertex A's, then B's, then C's normal; only all-NaN or an exactly
+    # zero-length result kills the lane (:172-177).
+    for cand in (na, nb, nc):
+        is_nan = jnp.isnan(face_n_raw).any(axis=-1, keepdims=True)
+        face_n_raw = jnp.where(is_nan, cand, face_n_raw)
+    n_ok = vm.dot(face_n_raw, face_n_raw) > 0.0  # False for NaN too
     face_n = vm.safe_normalize(face_n_raw)
     uv = (wa * srow[..., 9:11] + wb * srow[..., 11:13]
           + wc * srow[..., 13:15])

@@ -89,7 +89,6 @@ class LightTable(NamedTuple):
     # reference's two-level group/triangle pick (scene.cpp:686-745).
     areal_tri: jnp.ndarray        # int32 [K] triangle indices
     areal_cum: jnp.ndarray        # f32 [K] inclusive prefix of weight
-    areal_emission: jnp.ndarray   # f32 [K,3] group emission radiance
     # De-indexed per-areal-triangle rows (va, vb, vc, normal_a,
     # emission) [K, 15]: the queued tracer samples the path light
     # every loop iteration, so the areal pick must be ONE row-fetch,

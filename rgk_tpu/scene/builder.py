@@ -20,6 +20,7 @@ import numpy as np
 
 from ..io.texture_io import load_texture
 from ..utils import log as out
+from ..utils.lru import LRU
 from . import transforms as xf
 from .arrays import (
     BSDF_DIELECTRIC,
@@ -197,12 +198,22 @@ class SceneBuilder:
             raise ConfigError(f'Material named "{name}" was not defined')
         return self.material_index[name]
 
+    # Decoded-texture LRU shared across SceneBuilder instances: the
+    # animation loop (driver/cli.py -r) rebuilds the scene per frame
+    # and would otherwise re-decode identical PNGs/JPEGs 250 times.
+    # Keyed by (path, mtime); ~64 entries bounds host memory.
+    _decoded_lru = LRU(64)
+
     def get_texture(self, path: str) -> int:
         """Load-once texture cache keyed by path (scene.cpp:252-278)."""
         path = os.path.normpath(path)
         if path in self.texture_index:
             return self.texture_index[path]
-        img = load_texture(path)
+        key = (path, os.path.getmtime(path) if os.path.exists(path) else 0)
+        img = SceneBuilder._decoded_lru.get(key)
+        if img is None:
+            img = load_texture(path)
+            SceneBuilder._decoded_lru.put(key, img)
         idx = len(self.textures)
         self.textures.append(img)
         self.texture_index[path] = idx
@@ -518,7 +529,6 @@ class SceneBuilder:
             point_cum=_f32(np.cumsum(p_pow)),
             areal_tri=_i32(a_tri),
             areal_cum=_f32(np.cumsum(a_w)),
-            areal_emission=_f32(a_em),
             areal_rows=_f32(a_rows),
             total_point_power=_f32(total_point),
             total_areal_power=_f32(total_areal),

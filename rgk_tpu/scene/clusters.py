@@ -76,23 +76,18 @@ def build_clusters(vertices: np.ndarray, tri_vidx: np.ndarray,
     cl_max = pmax.reshape(n_clusters, cluster_size, 3).max(axis=1)
     cl_cent = (cl_min + cl_max) * 0.5
 
-    # Level 2: binary tree over the clusters (one cluster per leaf),
-    # then collapsed to 8-wide nodes so the kernel tests 8 child AABBs
-    # per iteration — one [8, BLK] VPU plane, the natural sublane
-    # shape, ~8x fewer serial traversal steps than a binary walk.
+    # Level 2: skip-link tree over the clusters, one cluster per leaf.
     node_min, node_max, first, count, skip, corder = build(
         cl_cent, cl_min, cl_max, 1)
     first = np.asarray(first, np.int64).copy()
     count = np.asarray(count, np.int64)
-    skip = np.asarray(skip, np.int64)
     corder = np.asarray(corder, np.int64)
-    leaf = count > 0
     # Leaves reference positions in corder; rewrite to cluster ids so
     # the kernel needs no extra indirection.
+    leaf = count > 0
     first[leaf] = corder[first[leaf]]
-    n8_min, n8_max, n8_meta = _collapse8(
-        np.asarray(node_min, np.float32), np.asarray(node_max, np.float32),
-        first, count, skip)
+    meta = np.stack([first, count, np.asarray(skip, np.int64)],
+                    axis=1).astype(np.int32)
 
     # Cluster-ordered triangle pack with glass + id columns, stored
     # *coefficient-major*: cluster k occupies rows k*16..(k+1)*16 of a
@@ -116,87 +111,20 @@ def build_clusters(vertices: np.ndarray, tri_vidx: np.ndarray,
         0, 2, 1).reshape(n_clusters * 16, cluster_size)
 
     out.log(3, f"Clusters: {n_clusters} x {cluster_size} triangles, "
-               f"{n8_meta.shape[0] // 8} wide nodes")
+               f"{meta.shape[0]} tree nodes")
     return ClusterArrays(
-        node_min=_f32(n8_min),
-        node_max=_f32(n8_max),
-        node_meta=_i32(n8_meta),
+        node_min=_f32(node_min),
+        node_max=_f32(node_max),
+        node_meta=_i32(meta),
         pack=_f32(rows),
     )
-
-
-CHILD_EMPTY = 0
-CHILD_LEAF = 1
-CHILD_INNER = 2
-
-
-def _collapse8(bmin, bmax, first, count, skip):
-    """Collapse the flat binary tree to 8-wide nodes.
-
-    Binary children of inner node i are (first[i], skip[first[i]])
-    (DFS pre-order + skip links, scene/bvh.py).  Each wide node
-    repeatedly expands one inner entry of its child set until 8
-    entries or all leaves; subtree roots become the next wide nodes.
-
-    Returns (n8_min [N8*8,3] f32, n8_max [N8*8,3] f32,
-    n8_meta [N8*8,2] int32 = (kind, value)) with empty slots carrying
-    inverted boxes so every slab test fails.
-    """
-    def children(i):
-        left = int(first[i])
-        return left, int(skip[left])
-
-    n8_min, n8_max, n8_meta = [], [], []
-    # Wide node 0 is the binary root (leaf roots become a 1-leaf node).
-    wide_of = {}
-    order = [0]
-    wide_of[0] = 0
-    next_id = 1
-    emitted = 0
-    while emitted < len(order):
-        root = order[emitted]
-        emitted += 1
-        if count[root] > 0:
-            members = [root]
-        else:
-            members = list(children(root))
-            while len(members) < 8:
-                inner = [m for m in members if count[m] == 0]
-                if not inner:
-                    break
-                # Expand the widest inner subtree (by skip-link span —
-                # a cheap proxy for subtree size) to balance the node.
-                inner.sort(key=lambda m: int(skip[m]) - m, reverse=True)
-                m = inner[0]
-                members.remove(m)
-                members.extend(children(m))
-        mins = np.full((8, 3), np.inf, np.float32)
-        maxs = np.full((8, 3), -np.inf, np.float32)
-        meta = np.zeros((8, 2), np.int64)
-        for c, m in enumerate(members):
-            mins[c] = bmin[m]
-            maxs[c] = bmax[m]
-            if count[m] > 0:
-                meta[c] = (CHILD_LEAF, first[m])
-            else:
-                if m not in wide_of:
-                    wide_of[m] = next_id
-                    next_id += 1
-                    order.append(m)
-                meta[c] = (CHILD_INNER, wide_of[m])
-        n8_min.append(mins)
-        n8_max.append(maxs)
-        n8_meta.append(meta)
-    return (np.concatenate(n8_min, axis=0),
-            np.concatenate(n8_max, axis=0),
-            np.concatenate(n8_meta, axis=0).astype(np.int32))
 
 
 def empty_clusters() -> ClusterArrays:
     """Placeholder for flat scenes (keeps the pytree structure)."""
     return ClusterArrays(
-        node_min=_f32(np.zeros((8, 3))),
-        node_max=_f32(np.zeros((8, 3))),
-        node_meta=_i32(np.zeros((8, 2))),
+        node_min=_f32(np.zeros((1, 3))),
+        node_max=_f32(np.zeros((1, 3))),
+        node_meta=_i32(np.zeros((1, 3))),
         pack=_f32(np.zeros((16, 128))),
     )

@@ -20,9 +20,40 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import signal  # noqa: E402
+
 import pytest  # noqa: E402
 
 REFERENCE_SCENES = "/root/reference/scenes"
+
+# Per-test timeout: a traversal bug must FAIL fast, not wedge the
+# suite (kernel parity tests run interpret-mode Python loops, which
+# SIGALRM interrupts fine).  Override per test with
+# @pytest.mark.timeout(seconds).
+DEFAULT_TEST_TIMEOUT = 300
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "timeout(seconds): per-test wall-clock limit")
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    marker = item.get_closest_marker("timeout")
+    seconds = int(marker.args[0]) if marker else DEFAULT_TEST_TIMEOUT
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded {seconds}s timeout (tests/conftest.py)")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture

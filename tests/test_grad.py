@@ -117,6 +117,84 @@ def test_grad_specular(grad_setup):
     _fd_check(loss_fn, params, "mat_specular", 6, 1e-3, 0.05)
 
 
+@pytest.fixture(scope="module")
+def nee_setup(tmp_path_factory):
+    """A scene lit ONLY by an areal light through NEE: black sky, no
+    point lights, recursion-max 1 (camera vertex only, so the one
+    radiance pathway is direct areal lighting).  Regression scene for
+    the stale-emission bug: apply_params must rebuild the de-indexed
+    areal_rows emission columns NEE actually reads (ops/lights.py)."""
+    cfg_d = {
+        "output-file": "t.exr", "output-width": 8, "output-height": 8,
+        "multisample": 8, "recursion-max": 1, "russian": -1.0,
+        "camera": {"position": [0, 2, 0.001], "lookat": [0, 0, 0],
+                   "fov": 50},
+        "sky": {"color": [0, 0, 0], "intensity": 0.0},
+        "materials": [
+            {"name": "floor", "brdf": "diffuse",
+             "diffuse": [0.6, 0.6, 0.6]},
+            {"name": "glow", "brdf": "diffuse", "diffuse": [0, 0, 0],
+             "emission": [2.0, 1.0, 0.5]},
+        ],
+        "scene": [
+            {"primitive": "plane", "axis": "Y", "scale": [4, 1, 4],
+             "material": "floor"},
+            {"primitive": "tri", "translate": [0, 1.5, 0],
+             "rotate": [0, 0, 180], "scale": [0.5, 1, 0.5],
+             "material": "glow"},
+        ],
+    }
+    p = tmp_path_factory.mktemp("nee") / "scene.json"
+    p.write_text(json.dumps(cfg_d))
+    cfg = load_config(str(p))
+    arrays, meta, _ = build_scene(cfg, build_bvh=False)
+    cam = cfg.get_camera()
+    n = 64
+    px = jnp.asarray(np.arange(n) % 8, jnp.int32)
+    py = jnp.asarray((np.arange(n) // 8) % 8, jnp.int32)
+    si = jnp.zeros((n,), jnp.uint32)
+    return cfg, arrays, meta, cam, px, py, si
+
+
+def _nee_render(arrays, meta, cfg, cam, px, py, si, params):
+    from rgk_tpu.integrator.path import render_lanes
+
+    s = apply_params(arrays, params)
+    return np.asarray(render_lanes(
+        s, meta, cfg.settings, cam, px, py, si, jnp.uint32(3),
+        differentiable=True).radiance)
+
+
+def test_nee_emission_follows_params(nee_setup):
+    """Scaling mat_emission through apply_params must scale NEE-lit
+    pixels (the old bug left areal_rows[:,12:15] stale)."""
+    cfg, arrays, meta, cam, px, py, si = nee_setup
+    params = extract_params(arrays)
+    base = _nee_render(arrays, meta, cfg, cam, px, py, si, params)
+    assert base.max() > 1e-4  # floor is NEE-lit
+
+    p2 = dict(params)
+    p2["mat_emission"] = params["mat_emission"] * 2.0
+    doubled = _nee_render(arrays, meta, cfg, cam, px, py, si, p2)
+    lit = base.max(axis=-1) > 1e-4
+    np.testing.assert_allclose(doubled[lit], 2.0 * base[lit], rtol=1e-5)
+
+
+def test_grad_emission_through_nee(nee_setup):
+    """d(loss)/d(emission) through the DIRECT-LIGHTING pathway must be
+    nonzero and match finite differences (old bug: silently zero)."""
+    cfg, arrays, meta, cam, px, py, si = nee_setup
+    target = jnp.zeros((64, 3), jnp.float32)
+    loss_fn = make_loss_fn(arrays, meta, cfg.settings, cam, px, py, si,
+                           jnp.uint32(3), target)
+    params = extract_params(arrays)
+    g = jax.grad(loss_fn)(params)
+    # material 1 ("glow") red channel, flat index 3
+    assert abs(float(np.asarray(g["mat_emission"]).reshape(-1)[3])) > 1e-7
+    _fd_check(loss_fn, params, "mat_emission", 3, 1e-3, 0.03)
+    _fd_check(loss_fn, params, "mat_emission", 4, 1e-3, 0.03)
+
+
 def test_optimization_step_reduces_loss(grad_setup):
     """One gradient-descent step on all params must reduce the loss."""
     loss_fn, params = grad_setup

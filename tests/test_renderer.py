@@ -163,3 +163,39 @@ def test_cornell_box_smoke(reference_scenes):
     assert img[1:4, 14:18].mean() > 1.0
     left = img[10:22, 2:6]
     assert left[..., 0].mean() > left[..., 2].mean()
+
+
+def test_nan_normal_fallback(tmp_path):
+    """NaN vertex normals fall back per the reference chain
+    (path_tracer.cpp:157-171): interpolated -> A -> B -> C; the lane
+    only dies if all are NaN.  A plane whose B/C vertex normals are
+    NaNed must render identically to the clean plane (normal A is the
+    same up vector)."""
+    cfg = _base_cfg(**{"recursion-max": 1, "multisample": 8})
+    cfg["lights"] = [{"position": [0, 3, 0], "color": [1, 1, 1],
+                      "intensity": 2.0}]
+    path = _write_cfg(tmp_path, cfg)
+    cfgo = load_config(path)
+    arrays, meta, _ = build_scene(cfgo, build_bvh=False)
+    cam = cfgo.get_camera()
+
+    rad, counts, _ = render_image_round(arrays, meta, cfgo.settings, cam, 0)
+    clean = np.asarray(rad) / np.asarray(counts)[..., None]
+    assert clean[8, 8].mean() > 1e-3
+
+    # Corrupt vertex B and C normals of every triangle.
+    shade = np.asarray(arrays.tri_shade).copy()
+    shade[:, 3:9] = np.nan
+    arrays2 = arrays._replace(tri_shade=jnp.asarray(shade))
+    rad2, counts2, _ = render_image_round(arrays2, meta, cfgo.settings,
+                                          cam, 0)
+    broken = np.asarray(rad2) / np.asarray(counts2)[..., None]
+    np.testing.assert_allclose(broken, clean, rtol=1e-5, atol=1e-7)
+
+    # All three NaN: the lane dies (black), no NaN leaks to the image.
+    shade[:, 0:9] = np.nan
+    arrays3 = arrays._replace(tri_shade=jnp.asarray(shade))
+    rad3, _, _ = render_image_round(arrays3, meta, cfgo.settings, cam, 0)
+    img3 = np.asarray(rad3)
+    assert np.isfinite(img3).all()
+    assert img3.max() == 0.0
