@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard over N devices (0 = all available)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--coordinator", metavar="HOST:PORT", default="",
+                   help="multi-host: address of process 0's coordinator")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="multi-host: total participating processes")
+    p.add_argument("--process-id", type=int, default=0,
+                   help="multi-host: this process's rank")
     p.add_argument("-d", "--debug-pixel", nargs=2, type=int,
                    metavar=("X", "Y"),
                    help="print a per-bounce trace of one pixel before "
@@ -83,6 +89,19 @@ def main(argv=None) -> int:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.num_processes > 1 or args.coordinator:
+        from ..parallel import multihost
+        if args.cpu:
+            # CPU cross-process collectives need the gloo backend
+            # (the 2-process smoke-test topology, SURVEY §4).
+            jax.config.update("jax_cpu_collectives_implementation",
+                              "gloo")
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+        if jax.process_index() != 0:
+            # One progress stream: workers log errors only.
+            out.set_verbosity(0)
 
     cfg = load_config(args.config)
     s = cfg.settings
@@ -111,7 +130,10 @@ def main(argv=None) -> int:
     if args.devices != 1:
         try:
             from ..parallel.mesh import MeshContext
-            n = args.devices if args.devices > 0 else len(jax.devices())
+            # Mesh over LOCAL devices; cross-process distribution is
+            # block-partitioned by the driver (parallel/multihost.py).
+            n = (args.devices if args.devices > 0
+                 else jax.local_device_count())
             if n > 1:
                 mesh = MeshContext(n)
                 out.log(2, f"Sharding wavefronts over {n} devices")

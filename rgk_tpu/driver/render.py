@@ -30,6 +30,7 @@ import numpy as np
 from ..integrator.path import render_lanes
 from ..io.exr import AccumulationImage
 from ..ops import sampler as smp
+from ..parallel import multihost
 from ..utils import log as out
 from ..utils.format import LowPass, format_int_thousands, format_time
 
@@ -87,6 +88,16 @@ class RenderDriver:
             # Lane counts must divide the mesh; round the block up.
             self.block += mesh.n - self.block % mesh.n
         self.n_blocks = (n_pixels + self.block - 1) // self.block
+        # Multi-host: the block decomposition is process-count
+        # invariant (same blocks regardless of host count — the
+        # determinism contract); each host renders a contiguous slice
+        # of blocks and the images are sum-reduced before writes
+        # (reference --no-overwrite shared-FS farming, main.cpp:242-245,
+        # replaced by real collectives; SURVEY §5).
+        self.n_procs = multihost.process_count()
+        self.proc_id = multihost.process_index()
+        self._blk_lo, self._blk_hi = multihost.host_lane_range(self.n_blocks)
+        self.local_blocks = self._blk_hi - self._blk_lo
 
         lane_fn = None
         if mesh is not None:
@@ -146,12 +157,13 @@ class RenderDriver:
         self._px = np.where(self._pad_mask, pix % xres, 0).astype(np.int32)
         self._py = np.where(self._pad_mask, pix // xres, 0).astype(np.int32)
         pix_idx = np.where(self._pad_mask, pix, hw).astype(np.int32)
-        # Device-resident per-block inputs, built once.
+        # Device-resident per-block inputs, built once (only this
+        # host's slice of blocks lives in HBM).
         self._px_dev = []
         self._py_dev = []
         self._pix_idx_dev = []
         tile = 1 if self._queued else ms  # queued: one lane per pixel
-        for b in range(self.n_blocks):
+        for b in range(self._blk_lo, self._blk_hi):
             s, e = b * self.block, (b + 1) * self.block
             self._px_dev.append(jnp.asarray(np.tile(self._px[s:e], tile)))
             self._py_dev.append(jnp.asarray(np.tile(self._py[s:e], tile)))
@@ -164,13 +176,14 @@ class RenderDriver:
         self._rays_dev = jnp.zeros((), jnp.float32)
 
     def render_round(self, round_idx: int, monitor=None) -> None:
-        """Render every pixel x multisample once; accumulate on device."""
-        for b in range(self.n_blocks):
+        """Render every pixel x multisample once; accumulate on device.
+        Under multi-host, only this host's block slice is traced."""
+        for i in range(self.local_blocks):
             self._acc_dev, self._rays_dev = self._block_fn(
                 self._acc_dev, self._rays_dev,
-                self.scene, self.camera, self._px_dev[b], self._py_dev[b],
+                self.scene, self.camera, self._px_dev[i], self._py_dev[i],
                 self._s_local, jnp.uint32(round_idx * self.ms),
-                jnp.uint32(self.seed), self._pix_idx_dev[b])
+                jnp.uint32(self.seed), self._pix_idx_dev[i])
             if monitor is not None:
                 monitor.add_blocks(1)
         self.stats.lanes += int(self._pad_mask.sum()) * self.ms
@@ -178,14 +191,24 @@ class RenderDriver:
 
     def fetch_accumulation(self) -> None:
         """Pull the device accumulation into the host AccumulationImage
-        (one transfer; called before EXR writes / checkpointing)."""
+        (one transfer; called before EXR writes / checkpointing).
+
+        Multi-host: a COLLECTIVE — every process must call it for the
+        same round.  Hosts own disjoint pixel blocks, so the cross-host
+        sum-reduce recovers the full frame exactly (adding zeros), and
+        the result is bitwise process-count-invariant."""
         xres, yres = self.camera.xres, self.camera.yres
-        rad = np.asarray(self._acc_dev[:-1], np.float64).reshape(
+        acc_host = np.asarray(self._acc_dev[:-1], np.float32)
+        rays = float(self._rays_dev)
+        if self.n_procs > 1:
+            acc_host = multihost.allreduce_image(acc_host)
+            rays = float(multihost.allreduce_image(
+                np.asarray([rays], np.float32))[0])
+        self.acc.sum = np.asarray(acc_host, np.float64).reshape(
             yres, xres, 3)
-        self.acc.sum = rad
         self.acc.count = np.full((yres, xres),
                                  float(self.ms * self.stats.rounds))
-        self.stats.rays = int(self._rays_dev)
+        self.stats.rays = int(rays)
 
     def render_frame(self, out_path: Optional[str] = None) -> RenderStats:
         """Run the rounds/timed loop, writing the EXR progressively."""
@@ -196,8 +219,9 @@ class RenderDriver:
         eta = LowPass()
         est_rounds = (1 if s.timed
                       else max(1, int(s.rounds) - self.start_round))
-        monitor = FrameMonitor(self.n_blocks * est_rounds,
-                               enabled=out.get_verbosity() >= 2)
+        monitor = FrameMonitor(self.local_blocks * est_rounds,
+                               enabled=(out.get_verbosity() >= 2
+                                        and self.proc_id == 0))
         monitor.__enter__()
         try:
             return self._render_frame_loop(out_path, s, t0, eta, monitor)
@@ -213,9 +237,10 @@ class RenderDriver:
             rt = time.time() - rt0
             self.stats.seconds = time.time() - t0
             if out_path:
-                self.fetch_accumulation()
-                self.acc.save(out_path, scale=s.output_scale)
-                self.save_checkpoint(out_path + ".ckpt.npz", round_idx)
+                self.fetch_accumulation()  # collective under multi-host
+                if self.proc_id == 0:
+                    self.acc.save(out_path, scale=s.output_scale)
+                    self.save_checkpoint(out_path + ".ckpt.npz", round_idx)
             monitor.set_rays(self.stats.rays)
             rays_s = self.stats.rays_per_sec
             if s.timed:
@@ -225,12 +250,19 @@ class RenderDriver:
                 # measured pace so the bar tracks wall-clock progress.
                 monitor.total = max(
                     monitor.done,
-                    int(round(self.n_blocks * round_idx
+                    int(round(self.local_blocks * round_idx
                               * total / max(self.stats.seconds, 1e-6))))
                 out.log(2, f"Round {round_idx} in {rt:.1f}s | "
                            f"{format_int_thousands(int(rays_s))} rays/s | "
                            f"{format_time(max(0, left))} left")
-                if self.stats.seconds >= total:
+                # Timed stop is host 0's call: clock skew must not let
+                # hosts disagree on the round count (a disagreeing host
+                # would wedge the next collective).
+                stop = self.stats.seconds >= total
+                if self.n_procs > 1:
+                    stop = multihost.broadcast_scalar(
+                        1.0 if stop else 0.0) > 0.5
+                if stop:
                     break
             else:
                 remaining = (s.rounds - round_idx) * eta.push(rt)
@@ -263,10 +295,15 @@ class RenderDriver:
         self.stats.rounds = int(round(float(d["count"].max()) / self.ms))
         self.stats.rays = int(d["rays"]) if "rays" in d else 0
         # Re-seed the device accumulation buffer from the checkpoint.
+        # Multi-host: ONLY process 0 carries the checkpointed sums —
+        # fetch_accumulation sum-reduces across hosts, so seeding every
+        # host would count the checkpoint n_procs times.
         flat = np.zeros((self.camera.xres * self.camera.yres + 1, 3),
                         np.float32)
-        flat[:-1] = np.asarray(d["sum"], np.float32).reshape(-1, 3)
+        if self.proc_id == 0:
+            flat[:-1] = np.asarray(d["sum"], np.float32).reshape(-1, 3)
         self._acc_dev = jnp.asarray(flat)
-        self._rays_dev = jnp.float32(self.stats.rays)
+        self._rays_dev = jnp.float32(
+            self.stats.rays if self.proc_id == 0 else 0.0)
         self.start_round = int(d["next_round"])
         return self.start_round
