@@ -53,7 +53,9 @@ class RenderSettings:
     russian: float = 0.74
     reverse: int = 0
     force_fresnell: bool = False
-    output_scale: float = 1.0  # -1 selects auto exposure
+    # -1 selects auto exposure (max channel -> 1.0) — the reference's
+    # default (src/config.hpp:37).
+    output_scale: float = -1.0
     thinglass: List[str] = field(default_factory=list)
 
 
