@@ -132,11 +132,14 @@ def main(argv=None) -> int:
             from ..parallel.mesh import MeshContext
             # Mesh over LOCAL devices; cross-process distribution is
             # block-partitioned by the driver (parallel/multihost.py).
-            n = (args.devices if args.devices > 0
-                 else jax.local_device_count())
+            # Under jax.distributed, jax.devices() is the GLOBAL list
+            # (identical on every process), so the mesh must be built
+            # from this process's addressable devices explicitly.
+            n = (min(args.devices, jax.local_device_count())
+                 if args.devices > 0 else jax.local_device_count())
             if n > 1:
-                mesh = MeshContext(n)
-                out.log(2, f"Sharding wavefronts over {n} devices")
+                mesh = MeshContext(n, devices=jax.local_devices()[:n])
+                out.log(2, f"Sharding wavefronts over {n} local devices")
         except Exception as e:  # single-device fallback
             out.log(3, f"Mesh setup failed ({e}); using one device")
 
@@ -158,9 +161,10 @@ def main(argv=None) -> int:
         driver = RenderDriver(s, arrays, meta, cam, seed=args.seed,
                               sampler_mode=sampler_mode,
                               chunk_lanes=args.chunk_lanes, mesh=mesh)
-        if args.resume and os.path.exists(frame_file + ".ckpt.npz"):
-            nr = driver.load_checkpoint(frame_file + ".ckpt.npz")
-            out.log(2, f"Resuming from round {nr}")
+        if args.resume:
+            nr = driver.try_resume(frame_file + ".ckpt.npz")
+            if nr:
+                out.log(2, f"Resuming from round {nr}")
         os.makedirs(os.path.dirname(os.path.abspath(frame_file)),
                     exist_ok=True)
         stats = driver.render_frame(frame_file)

@@ -79,23 +79,31 @@ class RenderDriver:
         # per-(pixel, sample) wavefront.
         ms = max(1, int(settings.multisample))
         self.ms = ms
+        self.n_procs = multihost.process_count()
+        self.proc_id = multihost.process_index()
         self._queued = mesh is None and int(settings.reverse) == 0
         block = (self.chunk_lanes if self._queued
                  else max(1, self.chunk_lanes // ms))
         n_pixels = xres * yres
-        self.block = min(block, n_pixels)
+        if self.n_procs > 1:
+            # Multi-host work is parcelled in pixel blocks; keep the
+            # block small enough that every host gets at least one
+            # (a single ~1M-lane block would put the whole frame on
+            # one host and idle the rest).
+            block = min(block, -(-n_pixels // self.n_procs))
+        self.block = max(1, min(block, n_pixels))
         if mesh is not None and self.block % mesh.n:
             # Lane counts must divide the mesh; round the block up.
             self.block += mesh.n - self.block % mesh.n
         self.n_blocks = (n_pixels + self.block - 1) // self.block
-        # Multi-host: the block decomposition is process-count
-        # invariant (same blocks regardless of host count — the
-        # determinism contract); each host renders a contiguous slice
-        # of blocks and the images are sum-reduced before writes
-        # (reference --no-overwrite shared-FS farming, main.cpp:242-245,
-        # replaced by real collectives; SURVEY §5).
-        self.n_procs = multihost.process_count()
-        self.proc_id = multihost.process_index()
+        # Multi-host: each host renders a contiguous slice of blocks
+        # and the images are sum-reduced before writes (reference
+        # --no-overwrite shared-FS farming, main.cpp:242-245, replaced
+        # by real collectives; SURVEY §5).  Block size may differ with
+        # process count, but every pixel's radiance is a pure function
+        # of (seed, pixel, sample) summed in a block-independent order,
+        # so NEE renders stay bitwise process-count-invariant (BDPT
+        # splat sums are scatter-order-sensitive at the 1-ulp level).
         self._blk_lo, self._blk_hi = multihost.host_lane_range(self.n_blocks)
         self.local_blocks = self._blk_hi - self._blk_lo
 
@@ -154,6 +162,12 @@ class RenderDriver:
         # re-render pixel 0 and scatter into the dummy row hw).
         pix = np.arange(self.n_blocks * self.block, dtype=np.int64)
         self._pad_mask = pix < n_pixels
+        # Real (non-padding) lanes THIS host traces per round; the
+        # global figure is allreduced in fetch_accumulation.
+        self._local_lanes = int(
+            self._pad_mask[self._blk_lo * self.block:
+                           self._blk_hi * self.block].sum()) * ms
+        self._lanes_done = 0  # this host's cumulative lane count
         self._px = np.where(self._pad_mask, pix % xres, 0).astype(np.int32)
         self._py = np.where(self._pad_mask, pix // xres, 0).astype(np.int32)
         pix_idx = np.where(self._pad_mask, pix, hw).astype(np.int32)
@@ -186,7 +200,8 @@ class RenderDriver:
                 jnp.uint32(self.seed), self._pix_idx_dev[i])
             if monitor is not None:
                 monitor.add_blocks(1)
-        self.stats.lanes += int(self._pad_mask.sum()) * self.ms
+        self._lanes_done += self._local_lanes
+        self.stats.lanes = self._lanes_done
         self.stats.rounds += 1
 
     def fetch_accumulation(self) -> None:
@@ -200,15 +215,17 @@ class RenderDriver:
         xres, yres = self.camera.xres, self.camera.yres
         acc_host = np.asarray(self._acc_dev[:-1], np.float32)
         rays = float(self._rays_dev)
+        lanes = float(self._lanes_done)
         if self.n_procs > 1:
             acc_host = multihost.allreduce_image(acc_host)
-            rays = float(multihost.allreduce_image(
-                np.asarray([rays], np.float32))[0])
+            rays, lanes = (float(v) for v in multihost.allreduce_image(
+                np.asarray([rays, lanes], np.float32)))
         self.acc.sum = np.asarray(acc_host, np.float64).reshape(
             yres, xres, 3)
         self.acc.count = np.full((yres, xres),
                                  float(self.ms * self.stats.rounds))
         self.stats.rays = int(rays)
+        self.stats.lanes = int(lanes)
 
     def render_frame(self, out_path: Optional[str] = None) -> RenderStats:
         """Run the rounds/timed loop, writing the EXR progressively."""
@@ -284,6 +301,28 @@ class RenderDriver:
         np.savez_compressed(path, sum=self.acc.sum, count=self.acc.count,
                             next_round=next_round, seed=self.seed,
                             rays=self.stats.rays)
+
+    def try_resume(self, path: str) -> int:
+        """Multi-host-safe resume: process 0 alone inspects and loads
+        the checkpoint and broadcasts the next round index, so hosts
+        never diverge on round count when the filesystem is not shared
+        (a diverging host would wedge the fetch_accumulation
+        collective).  Returns the next round index (0 = no resume)."""
+        if self.n_procs == 1:
+            return self.load_checkpoint(path) if os.path.exists(path) else 0
+        exists = (1.0 if (self.proc_id == 0 and os.path.exists(path))
+                  else 0.0)
+        if multihost.broadcast_scalar(exists) < 0.5:
+            return 0
+        nr = self.load_checkpoint(path) if self.proc_id == 0 else 0
+        nr = int(multihost.broadcast_scalar(float(nr)))
+        if self.proc_id != 0:
+            # Workers carry zero accumulation (proc 0 owns the
+            # checkpointed sums — fetch_accumulation sum-reduces);
+            # they only need to agree on where the round loop starts.
+            self.start_round = nr
+            self.stats.rounds = nr
+        return nr
 
     def load_checkpoint(self, path: str) -> int:
         """Restore accumulation state; returns the next round index."""

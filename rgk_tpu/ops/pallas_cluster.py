@@ -15,7 +15,8 @@ per-lane tree walk needs per-lane gathers the TPU lacks; instead each
 Shared traversal trades some wasted sweeps on divergent blocks for
 zero gathers and a fully dense inner loop; per-lane best_t keeps
 pruning sound.  The cluster tree (2K-1 nodes for K clusters of 128
-triangles) stays VMEM-resident; the triangle pack stays in HBM and
+triangles) lives in SMEM — node AABBs/links are scalar loads, uniform
+over the block; the triangle pack stays in HBM and
 streams per visited leaf (one lane-aligned [16, 128] tile, 8 KB —
 Mosaic requires HBM DMA slices aligned to 128 lanes, so the pack is
 stored coefficient-major and transposed to [128, 16] on-chip once per
@@ -135,20 +136,21 @@ def _make_kernel(any_hit: bool):
         def body(carry):
             node, state = carry
             best_t = state[0]
-            bmin = nmin_ref[pl.ds(node, 1), :]   # [1,3]
-            bmax = nmax_ref[pl.ds(node, 1), :]
-            mrow = meta_ref[pl.ds(node, 1), :]   # [1,3] int32
-            first = mrow[0, 0]
-            count = mrow[0, 1]
-            skip = mrow[0, 2]
+            # Node fetches are SCALAR loads from SMEM: the node's AABB
+            # and links are uniform across the whole lane block, and
+            # [NN,3] arrays in VMEM would pad each 3-wide row to a
+            # 128-lane tile (~42x VMEM blow-up — OOM at ~1M tris).
+            first = meta_ref[node, 0]
+            count = meta_ref[node, 1]
+            skip = meta_ref[node, 2]
 
             tcap = jnp.minimum(best_t, tmax)
-            t0x = (bmin[0, 0] - rox) * invx
-            t1x = (bmax[0, 0] - rox) * invx
-            t0y = (bmin[0, 1] - roy) * invy
-            t1y = (bmax[0, 1] - roy) * invy
-            t0z = (bmin[0, 2] - roz) * invz
-            t1z = (bmax[0, 2] - roz) * invz
+            t0x = (nmin_ref[node, 0] - rox) * invx
+            t1x = (nmax_ref[node, 0] - rox) * invx
+            t0y = (nmin_ref[node, 1] - roy) * invy
+            t1y = (nmax_ref[node, 1] - roy) * invy
+            t0z = (nmin_ref[node, 2] - roz) * invz
+            t1z = (nmax_ref[node, 2] - roz) * invz
             tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                          jnp.minimum(t0y, t1y)),
                              jnp.minimum(t0z, t1z))
@@ -195,7 +197,9 @@ def _run(nmin, nmax, meta, pack, rox, roy, roz, rdx, rdy, rdz,
     grid = (R // block,)
     lane_spec = pl.BlockSpec((block,), lambda i: (i,),
                              memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # Cluster-tree nodes live in SMEM: the kernel reads them as
+    # scalars (one node per tree step, uniform over the block).
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = (
         jax.ShapeDtypeStruct((R,), jnp.float32),
         jax.ShapeDtypeStruct((R,), jnp.int32),
@@ -205,8 +209,8 @@ def _run(nmin, nmax, meta, pack, rox, roy, roz, rdx, rdy, rdz,
     return pl.pallas_call(
         _make_kernel(any_hit),
         grid=grid,
-        in_specs=[full, full, full,
-                  pl.BlockSpec(memory_space=pltpu.ANY)]  # pack in HBM
+        in_specs=[smem, smem, smem,
+                  pl.BlockSpec(memory_space=pl.ANY)]  # pack in HBM
         + [lane_spec] * 9,
         out_specs=(lane_spec, lane_spec, lane_spec, lane_spec),
         out_shape=out_shape,

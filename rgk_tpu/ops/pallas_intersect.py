@@ -88,9 +88,40 @@ def _sweep_tile(pack_tile, base_id, rays, tmin, tmax, excl, state):
             jnp.where(win, tile_c, best_c))
 
 
+def _sweep_tile_any(pack_tile, base_id, rays, tmin, tmax, excl, best_t):
+    """Any-hit variant of one [MT, BLK] sweep: no winner extraction —
+    only "does an accepted hit exist" (and a witness t) per lane.
+    The reference's FindIntersectKdAny semantics
+    (src/scene_intersect.cpp:118-208): shadow/visibility rays need a
+    boolean, not the closest triangle."""
+    rox, roy, roz, rdx, rdy, rdz = rays
+
+    def coef(j):
+        return pack_tile[:, j][:, None]  # [MT, 1]
+
+    nx, ny, nz, d = coef(0), coef(1), coef(2), coef(3)
+    rddn = rdx * nx + rdy * ny + rdz * nz
+    rodn = rox * nx + roy * ny + roz * nz + d
+    safe = jnp.abs(rddn) > _PARALLEL_EPS
+    t = -rodn / jnp.where(safe, rddn, 1.0)
+
+    b0, bvx, bvy, bvz = coef(4), coef(5), coef(6), coef(7)
+    beta = (b0 + rox * bvx + roy * bvy + roz * bvz
+            + t * (rdx * bvx + rdy * bvy + rdz * bvz))
+    g0, gvx, gvy, gvz = coef(8), coef(9), coef(10), coef(11)
+    gamma = (g0 + rox * gvx + roy * gvy + roz * gvz
+             + t * (rdx * gvx + rdy * gvy + rdz * gvz))
+
+    glass = coef(12) > 0.5
+    tri_ids = base_id + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    ok = (safe & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
+          & (t > tmin) & (t < tmax) & ~glass & (tri_ids != excl))
+    return jnp.minimum(best_t, jnp.min(jnp.where(ok, t, _BIG), axis=0))
+
+
 def _kernel(pack_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
             rdz_ref, tmin_ref, tmax_ref, excl_ref,
-            t_ref, idx_ref, bb_ref, bc_ref):
+            t_ref, idx_ref, bb_ref, bc_ref, *, any_hit=False):
     def ray(ref):
         return ref[...][None, :]        # [1, BLK]
 
@@ -102,6 +133,40 @@ def _kernel(pack_ref, rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref,
 
     blk = rox_ref.shape[0]
     mp = pack_ref.shape[0]
+
+    if any_hit:
+        best_t = jnp.full((blk,), _BIG, jnp.float32)
+        if mp <= M_TILE:
+            best_t = _sweep_tile_any(pack_ref[...], jnp.int32(0), rays,
+                                     tmin, tmax, excl, best_t)
+        else:
+            n_tiles = mp // M_TILE
+
+            # Early exit once every lane in the block has a hit —
+            # plus no per-tile winner extraction at all; occlusion-
+            # heavy shadow batches stop after the first few tiles.
+            def cond(st):
+                i, best = st
+                return (i < n_tiles) & ~jnp.all(best < _BIG)
+
+            def body(st):
+                i, best = st
+                tile = pack_ref[pl.ds(i * M_TILE, M_TILE), :]
+                return (i + 1,
+                        _sweep_tile_any(tile, i * M_TILE, rays, tmin,
+                                        tmax, excl, best))
+
+            _, best_t = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), best_t))
+        found = best_t < _BIG
+        t_ref[...] = best_t
+        # Witness hit only: triangle id/barycentrics are not tracked
+        # (visibility() consumes hit.valid alone).
+        idx_ref[...] = jnp.where(found, 0, -1)
+        bb_ref[...] = jnp.zeros((blk,), jnp.float32)
+        bc_ref[...] = jnp.zeros((blk,), jnp.float32)
+        return
+
     state = (jnp.full((blk,), _BIG, jnp.float32),
              jnp.full((blk,), 0x7FFFFFFF, jnp.int32),
              jnp.zeros((blk,), jnp.float32),

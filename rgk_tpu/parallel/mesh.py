@@ -33,7 +33,10 @@ class MeshContext:
 
     def __init__(self, n_devices: int = 0, devices=None):
         if devices is None:
-            devices = jax.devices()
+            # Local (addressable) devices — under jax.distributed,
+            # jax.devices() is the global list and identical on every
+            # process; a mesh of another host's chips cannot be fed.
+            devices = jax.local_devices()
         if n_devices and n_devices > 0:
             devices = devices[:n_devices]
         self.devices = devices

@@ -60,12 +60,18 @@ def process_index() -> int:
 
 
 def host_lane_range(total_lanes: int) -> tuple:
-    """The contiguous lane slice this host renders: lanes are split
-    evenly over processes (the driver pads to a multiple)."""
+    """The contiguous lane slice this host renders.
+
+    Lanes split evenly over processes with the remainder spread one
+    apiece over the first (total % n) hosts — no host ever carries
+    more than one extra unit, which matters for the >85% scaling
+    efficiency target (a last-host remainder dump can leave every
+    other host idle on small frames)."""
     n = jax.process_count()
     i = jax.process_index()
-    per = total_lanes // n
-    return i * per, (i + 1) * per if i < n - 1 else total_lanes
+    per, rem = divmod(total_lanes, n)
+    lo = i * per + min(i, rem)
+    return lo, lo + per + (1 if i < rem else 0)
 
 
 def allreduce_image(partial_sum: np.ndarray) -> np.ndarray:

@@ -82,15 +82,18 @@ def test_two_process_render_matches_single(tmp_path):
     os.makedirs(single_dir)
     os.makedirs(multi_dir)
 
-    _run_cli(scene, single_dir, [[]])
+    # --chunk-lanes 512 forces n_blocks >= 2 per host (48x48 = 2304 px
+    # -> 5 blocks split 3/2) so the disjoint block partition is
+    # actually exercised, not just the collectives.
+    _run_cli(scene, single_dir, [["--chunk-lanes", "512"]])
 
     port = _free_port()
     coord = f"localhost:{port}"
     _run_cli(scene, multi_dir, [
-        ["--coordinator", coord, "--num-processes", "2",
-         "--process-id", "0"],
-        ["--coordinator", coord, "--num-processes", "2",
-         "--process-id", "1"],
+        ["--chunk-lanes", "512", "--coordinator", coord,
+         "--num-processes", "2", "--process-id", "0"],
+        ["--chunk-lanes", "512", "--coordinator", coord,
+         "--num-processes", "2", "--process-id", "1"],
     ])
 
     from rgk_tpu.io.exr import read_exr
