@@ -101,7 +101,7 @@ def _make_kernel(any_hit: bool):
                tmin_ref, tmax_ref, excl_ref,
                t_ref, idx_ref, bb_ref, bc_ref,
                tile_ref, sem_ref):
-        n_nodes = meta_ref.shape[0]
+        n_nodes = meta_ref.shape[0] // 3
 
         def ray(ref):
             return ref[...][None, :]    # [1, BLK]
@@ -140,17 +140,17 @@ def _make_kernel(any_hit: bool):
             # and links are uniform across the whole lane block, and
             # [NN,3] arrays in VMEM would pad each 3-wide row to a
             # 128-lane tile (~42x VMEM blow-up — OOM at ~1M tris).
-            first = meta_ref[node, 0]
-            count = meta_ref[node, 1]
-            skip = meta_ref[node, 2]
+            first = meta_ref[node * 3]
+            count = meta_ref[node * 3 + 1]
+            skip = meta_ref[node * 3 + 2]
 
             tcap = jnp.minimum(best_t, tmax)
-            t0x = (nmin_ref[node, 0] - rox) * invx
-            t1x = (nmax_ref[node, 0] - rox) * invx
-            t0y = (nmin_ref[node, 1] - roy) * invy
-            t1y = (nmax_ref[node, 1] - roy) * invy
-            t0z = (nmin_ref[node, 2] - roz) * invz
-            t1z = (nmax_ref[node, 2] - roz) * invz
+            t0x = (nmin_ref[node * 3] - rox) * invx
+            t1x = (nmax_ref[node * 3] - rox) * invx
+            t0y = (nmin_ref[node * 3 + 1] - roy) * invy
+            t1y = (nmax_ref[node * 3 + 1] - roy) * invy
+            t0z = (nmin_ref[node * 3 + 2] - roz) * invz
+            t1z = (nmax_ref[node * 3 + 2] - roz) * invz
             tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                          jnp.minimum(t0y, t1y)),
                              jnp.minimum(t0z, t1z))
@@ -199,6 +199,9 @@ def _run(nmin, nmax, meta, pack, rox, roy, roz, rdx, rdy, rdz,
                              memory_space=pltpu.VMEM)
     # Cluster-tree nodes live in SMEM: the kernel reads them as
     # scalars (one node per tree step, uniform over the block).
+    # Arrays are FLATTENED to 1-D first — SMEM is untiled scalar
+    # memory, but a 2-D [NN,3] shape still gets the (8,128) tiled
+    # layout, padding each 3-wide row to 512 B (~42x, OOM at 1M tris).
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = (
         jax.ShapeDtypeStruct((R,), jnp.float32),
@@ -219,8 +222,8 @@ def _run(nmin, nmax, meta, pack, rox, roy, roz, rdx, rdy, rdz,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(nmin, nmax, meta, pack, rox, roy, roz, rdx, rdy, rdz,
-      t_min, t_max, exclude)
+    )(nmin.reshape(-1), nmax.reshape(-1), meta.reshape(-1), pack,
+      rox, roy, roz, rdx, rdy, rdz, t_min, t_max, exclude)
 
 
 def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,

@@ -127,6 +127,11 @@ def test_golden_rubiks_bump():
 def test_golden_box2_bdpt():
     """Bidirectional mode (reverse=4): light-path camera splats +
     eye x light connections (reference path_tracer.cpp:367-398,
-    463-480) against the reference's own BDPT render."""
-    img = render_ours("box2", 48, ms=64)
-    assert_matches_golden("box2", img, min_corr=0.97, max_bias=0.08)
+    463-480) against the reference's own BDPT render.
+
+    Quarter-res with high spp: the BDPT eye x light connection loop
+    is the most expensive CPU test in the suite, and 24^2 @ 128 spp
+    (measured corr 0.983, bias 0.014) fits the test budget where
+    48^2 @ 64 spp timed out cold-cache."""
+    img = render_ours("box2", 24, ms=128)
+    assert_matches_golden("box2", img, min_corr=0.97, max_bias=0.05)

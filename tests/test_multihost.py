@@ -52,9 +52,12 @@ def _mini_scene(tmp_path, name: str) -> str:
     return path
 
 
-def _run_cli(scene, outdir, extra, timeout=600):
+def _run_cli(scene, outdir, extra, timeout=600, devices_per_proc=1):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # subprocesses: 1 CPU device each
+    if devices_per_proc > 1:
+        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                            f"{devices_per_proc}")
     env["JAX_PLATFORMS"] = "cpu"
     procs = []
     for argv in extra:
@@ -108,3 +111,41 @@ def test_two_process_render_matches_single(tmp_path):
     cb = np.load(os.path.join(multi_dir, "mh-box.exr.ckpt.npz"))
     np.testing.assert_array_equal(ca["sum"], cb["sum"])
     assert int(ca["next_round"]) == int(cb["next_round"]) == 2
+
+
+@pytest.mark.timeout(900)
+def test_two_process_multichip_matches_single(tmp_path):
+    """Multi-host x multi-chip composition — the actual 2-host v5e
+    topology of the BASELINE target: 2 processes x 4 virtual CPU
+    devices each, a MeshContext over each process's LOCAL devices
+    (lanes sharded within a block), pixel blocks split across
+    processes.  Each block runs the identical 4-device SPMD program in
+    both runs and hosts own disjoint pixels, so the 2-process render
+    is BITWISE identical to the 1-process 4-device render."""
+    tmp = str(tmp_path)
+    scene = _mini_scene(tmp, "mh-mesh")
+
+    single_dir = os.path.join(tmp, "single")
+    multi_dir = os.path.join(tmp, "multi")
+    os.makedirs(single_dir)
+    os.makedirs(multi_dir)
+
+    _run_cli(scene, single_dir,
+             [["--chunk-lanes", "512", "--devices", "4"]],
+             devices_per_proc=4)
+
+    port = _free_port()
+    coord = f"localhost:{port}"
+    _run_cli(scene, multi_dir, [
+        ["--chunk-lanes", "512", "--devices", "4",
+         "--coordinator", coord, "--num-processes", "2",
+         "--process-id", "0"],
+        ["--chunk-lanes", "512", "--devices", "4",
+         "--coordinator", coord, "--num-processes", "2",
+         "--process-id", "1"],
+    ], devices_per_proc=4)
+
+    from rgk_tpu.io.exr import read_exr
+    a = read_exr(os.path.join(single_dir, "mh-mesh.exr"))
+    b = read_exr(os.path.join(multi_dir, "mh-mesh.exr"))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
