@@ -195,6 +195,89 @@ def test_grad_emission_through_nee(nee_setup):
     _fd_check(loss_fn, params, "mat_emission", 4, 1e-3, 0.03)
 
 
+@pytest.fixture(scope="module")
+def texel_setup(tmp_path_factory):
+    """A textured floor under a point light plus an envmap sky: the two
+    untested leaves of PARAM_KEYS ("texels" through the diffuse-texture
+    fetch AND through the sky-escape envmap lookup, ops/textures.py
+    sample_bilinear / sky_radiance).  Radiance is LINEAR in texel
+    values (bilinear interpolation has constant weights once geometry
+    is detached), so central differences are exact up to fp32 noise —
+    the bilinear-corner subtlety is in WHICH texels receive gradient,
+    which we probe via the argmax texel of the analytic gradient."""
+    from rgk_tpu.io.texture_io import write_png
+
+    tmp = tmp_path_factory.mktemp("texgrad")
+    rng = np.random.RandomState(7)
+    write_png(str(tmp / "floor.png"), rng.uniform(0.2, 0.9, (4, 4, 3)))
+    write_png(str(tmp / "env.png"), rng.uniform(0.1, 0.8, (4, 8, 3)))
+    cfg_d = {
+        "output-file": "t.exr", "output-width": 8, "output-height": 8,
+        "multisample": 4, "recursion-max": 2, "russian": -1.0,
+        # Camera near the horizon: lower lanes hit the floor (texture
+        # pathway), upper lanes escape to the sky (envmap pathway).
+        "camera": {"position": [0, 0.8, 2.5], "lookat": [0, 0.6, 0],
+                   "fov": 70},
+        "sky": {"envmap": "env.png", "intensity": 1.0},
+        "materials": [
+            {"name": "floor", "brdf": "diffuse",
+             "diffuse-texture": "floor.png"},
+        ],
+        "scene": [
+            {"primitive": "plane", "axis": "Y", "scale": [3, 1, 3],
+             "material": "floor"},
+        ],
+        "lights": [{"position": [1, 2, 1], "color": [1, 0.9, 0.8],
+                    "intensity": 2.0}],
+    }
+    p = tmp / "scene.json"
+    p.write_text(json.dumps(cfg_d))
+    cfg = load_config(str(p))
+    arrays, meta, _ = build_scene(cfg, build_bvh=False)
+    cam = cfg.get_camera()
+    n = 64
+    px = jnp.asarray(np.arange(n) % 8, jnp.int32)
+    py = jnp.asarray((np.arange(n) // 8) % 8, jnp.int32)
+    si = jnp.zeros((n,), jnp.uint32)
+    target = jnp.zeros((n, 3), jnp.float32)
+    loss_fn = make_loss_fn(arrays, meta, cfg.settings, cam, px, py, si,
+                           jnp.uint32(3), target)
+    params = extract_params(arrays)
+    return loss_fn, params, arrays
+
+
+def _texel_slice(arrays, tex_id):
+    """Flat [start, stop) of texture `tex_id` in the texel atlas."""
+    off, w, h = (int(v) for v in np.asarray(arrays.textures.desc)[tex_id])
+    return 3 * off, 3 * (off + w * h)
+
+
+def test_grad_texture_texel(texel_setup):
+    """FD-check d(loss)/d(texel) for the strongest FLOOR-texture texel
+    (SURVEY hard-part #4: bilinear-corner subgradients)."""
+    loss_fn, params, arrays = texel_setup
+    g = np.asarray(jax.grad(loss_fn)(params)["texels"]).reshape(-1)
+    floor_tex = 0 if int(np.asarray(arrays.sky_tex)) != 0 else 1
+    lo, hi = _texel_slice(arrays, floor_tex)
+    assert np.abs(g[lo:hi]).max() > 1e-7, "no gradient reaches the texture"
+    idx = lo + int(np.abs(g[lo:hi]).argmax())
+    _fd_check(loss_fn, params, "texels", idx, 1e-3, 0.03)
+
+
+def test_grad_envmap_texel(texel_setup):
+    """FD-check d(loss)/d(texel) for the strongest ENVMAP texel: the
+    gradient must flow through the sky-escape lookup (sky_radiance,
+    reference scene.cpp:748-763)."""
+    loss_fn, params, arrays = texel_setup
+    g = np.asarray(jax.grad(loss_fn)(params)["texels"]).reshape(-1)
+    sky_tex = int(np.asarray(arrays.sky_tex))
+    assert sky_tex >= 0, "scene must have an envmap"
+    lo, hi = _texel_slice(arrays, sky_tex)
+    assert np.abs(g[lo:hi]).max() > 1e-7, "no gradient reaches the envmap"
+    idx = lo + int(np.abs(g[lo:hi]).argmax())
+    _fd_check(loss_fn, params, "texels", idx, 1e-3, 0.03)
+
+
 def test_optimization_step_reduces_loss(grad_setup):
     """One gradient-descent step on all params must reduce the loss."""
     loss_fn, params = grad_setup
