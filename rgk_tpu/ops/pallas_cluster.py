@@ -6,21 +6,32 @@ per-lane tree walk needs per-lane gathers the TPU lacks; instead each
 *ray block* walks the small cluster tree once with a scalar cursor:
 
   while node < n_nodes:
-      hit[lane] = slab(node AABB, lane interval)    # [1,BLK] VPU test
+      hit[lane] = slab(node AABB, lane interval)    # [S,128] VPU test
       if leaf and any(hit):  DMA the cluster's 128 Badouel rows
-                             HBM -> VMEM, dense [128, BLK] sweep,
+                             HBM -> VMEM, dense [128, 128] sweeps,
                              merge per-lane closest hit
-      node = any(hit) ? descend : skip-link
+      node = any(hit) ? hit_link : miss_link
 
 Shared traversal trades some wasted sweeps on divergent blocks for
 zero gathers and a fully dense inner loop; per-lane best_t keeps
-pruning sound.  The cluster tree (2K-1 nodes for K clusters of 128
-triangles) lives in SMEM — node AABBs/links are scalar loads, uniform
-over the block; the triangle pack stays in HBM and
-streams per visited leaf (one lane-aligned [16, 128] tile, 8 KB —
-Mosaic requires HBM DMA slices aligned to 128 lanes, so the pack is
-stored coefficient-major and transposed to [128, 16] on-chip once per
-visited cluster).
+pruning sound.  Design notes that set the performance shape:
+
+* Ray blocks are laid out [S, 128] (sublanes x lanes), NOT [1, BLK]:
+  a [1, 1024] f32 op occupies 8 vregs at 1/8 sublane occupancy, so the
+  per-node slab test ran at 1/8 VPU density in the v1 kernel.
+* Traversal is FRONT-TO-BACK per ray-direction octant: the scene
+  commit precomputes eight link tables (scene/clusters.py
+  build_octant_links) over the same canonical node ids, and each block
+  DMAs its majority octant's table HBM -> SMEM once.  Near clusters
+  sweep first, best_t drops early, and the slab test's
+  `tn <= min(best_t, tmax)` prunes the far subtrees the v1 kernel
+  swept (the reference's near-child-first ordering,
+  src/scene_intersect.cpp:300-321, recovered TPU-style).
+* The cluster tree's boxes/counts live in SMEM as scalars (uniform
+  across the block); the triangle pack stays in HBM and streams per
+  visited leaf as one lane-aligned [16, 128] coefficient-major tile.
+* Shadow rays (any_hit) use a reduced sweep with no winner
+  extraction and exit the walk as soon as every lane is occluded.
 
 Rays ride the lane axis exactly like the flat kernel
 (ops/pallas_intersect.py); triangles ride sublanes in the sweep.
@@ -44,24 +55,24 @@ _PARALLEL_EPS = 1e-9
 _BIG = 3.4e38
 DEFAULT_BLOCK = 1024
 CLUSTER_SIZE = 128  # must match scene/clusters.CLUSTER_SIZE
+_LANES = 128
 
 
-def _sweep_cluster(tile, rays, tmin, tcap, excl, state):
-    """Dense Badouel sweep of one cluster tile against the ray block.
+def _sweep_slice(tilt, rays, tmin, tcap, excl, state):
+    """Dense Badouel sweep of one cluster against one [1,128] ray
+    slice, merged into that slice's running best state.
 
-    tile: [16, 128] coefficient-major; rays: 6 x [1, BLK];
-    tmin/tcap/excl: [1, BLK]; state: 4 x [1, BLK] (t, id, beta, gamma).
+    tilt: [128, 16] triangle-major coefficients; rays: 6 x [1, 128];
+    tmin/tcap/excl: [1, 128]; state: 4 x [1, 128] (t, id, beta, gamma).
     """
     rox, roy, roz, rdx, rdy, rdz = rays
     best_t, best_i, best_b, best_c = state
-
-    tilt = tile.T  # [128, 16]: triangles to sublanes, one relayout
 
     def coef(j):
         return tilt[:, j:j + 1]  # [128, 1]
 
     nx, ny, nz, d = coef(0), coef(1), coef(2), coef(3)
-    rddn = rdx * nx + rdy * ny + rdz * nz          # [128, BLK]
+    rddn = rdx * nx + rdy * ny + rdz * nz          # [128, 128]
     rodn = rox * nx + roy * ny + roz * nz + d
     safe = jnp.abs(rddn) > _PARALLEL_EPS
     t = -rodn / jnp.where(safe, rddn, 1.0)
@@ -79,7 +90,7 @@ def _sweep_cluster(tile, rays, tmin, tcap, excl, state):
           & (t > tmin) & (t < tcap) & ~glass & (pid != excl))
 
     t_sel = jnp.where(ok, t, _BIG)
-    tile_t = jnp.min(t_sel, axis=0, keepdims=True)       # [1, BLK]
+    tile_t = jnp.min(t_sel, axis=0, keepdims=True)       # [1, 128]
     onehot = t_sel == tile_t
     pid_b = jnp.broadcast_to(pid, t.shape)
     tile_i = jnp.min(jnp.where(onehot, pid_b, jnp.int32(0x7FFFFFFF)),
@@ -95,145 +106,296 @@ def _sweep_cluster(tile, rays, tmin, tcap, excl, state):
             jnp.where(win, tile_c, best_c))
 
 
-def _make_kernel(any_hit: bool):
-    def kernel(nmin_ref, nmax_ref, meta_ref, pack_hbm,
+def _sweep_slice_any(tilt, rays, tmin, tcap, excl, best_t):
+    """Any-hit sweep of one cluster against one [1,128] ray slice: a
+    witness min-t only, no winner extraction (the reference's
+    FindIntersectKdAny semantics, src/scene_intersect.cpp:118-208)."""
+    rox, roy, roz, rdx, rdy, rdz = rays
+
+    def coef(j):
+        return tilt[:, j:j + 1]
+
+    nx, ny, nz, d = coef(0), coef(1), coef(2), coef(3)
+    rddn = rdx * nx + rdy * ny + rdz * nz
+    rodn = rox * nx + roy * ny + roz * nz + d
+    safe = jnp.abs(rddn) > _PARALLEL_EPS
+    t = -rodn / jnp.where(safe, rddn, 1.0)
+
+    b0, bvx, bvy, bvz = coef(4), coef(5), coef(6), coef(7)
+    beta = (b0 + rox * bvx + roy * bvy + roz * bvz
+            + t * (rdx * bvx + rdy * bvy + rdz * bvz))
+    g0, gvx, gvy, gvz = coef(8), coef(9), coef(10), coef(11)
+    gamma = (g0 + rox * gvx + roy * gvy + roz * gvz
+             + t * (rdx * gvx + rdy * gvy + rdz * gvz))
+
+    glass = coef(12) > 0.5
+    pid = pltpu.bitcast(tilt[:, 13:14], jnp.int32)
+    ok = (safe & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
+          & (t > tmin) & (t < tcap) & ~glass & (pid != excl))
+    return jnp.minimum(best_t,
+                       jnp.min(jnp.where(ok, t, _BIG), axis=0,
+                               keepdims=True))
+
+
+def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
+    def kernel(nmin_ref, nmax_ref, count_ref, oct_ref, links_ref,
+               pack_hbm,
                rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                tmin_ref, tmax_ref, excl_ref,
                t_ref, idx_ref, bb_ref, bc_ref,
-               tile_ref, sem_ref):
-        n_nodes = meta_ref.shape[0] // 3
+               *rest):
+        if stats:
+            nodes_ref, leaves_ref = rest[0], rest[1]
+            rest = rest[2:]
+        tile_ref, sem_ref = rest
+        n_nodes = count_ref.shape[0]
 
-        def ray(ref):
-            return ref[...][None, :]    # [1, BLK]
+        # This block's majority ray-direction octant selects the
+        # front-to-back link table (all eight live in SMEM, packed
+        # 16+16 bits per node).
+        link_base = oct_ref[pl.program_id(0)] * n_nodes
 
-        rays = (ray(rox_ref), ray(roy_ref), ray(roz_ref),
-                ray(rdx_ref), ray(rdy_ref), ray(rdz_ref))
-        rox, roy, roz, rdx, rdy, rdz = rays
-        tmin = ray(tmin_ref)
-        tmax = ray(tmax_ref)
-        excl = ray(excl_ref)
+        def grid2(ref):
+            return ref[0]                 # [S, 128]
+
+        ro2 = (grid2(rox_ref), grid2(roy_ref), grid2(roz_ref))
+        rd2 = (grid2(rdx_ref), grid2(rdy_ref), grid2(rdz_ref))
+        rox2, roy2, roz2 = ro2
+        rdx2, rdy2, rdz2 = rd2
+        tmin2 = grid2(tmin_ref)
+        tmax2 = grid2(tmax_ref)
+        excl2 = grid2(excl_ref)
 
         def inv(c):
             tiny = jnp.where(c >= 0.0, 1e-20, -1e-20)
             return 1.0 / jnp.where(jnp.abs(c) > 1e-20, c, tiny)
 
-        invx, invy, invz = inv(rdx), inv(rdy), inv(rdz)
+        invx, invy, invz = inv(rdx2), inv(rdy2), inv(rdz2)
 
-        blk = rox_ref.shape[0]
-        state0 = (jnp.full((1, blk), _BIG, jnp.float32),
-                  jnp.full((1, blk), -1, jnp.int32),
-                  jnp.zeros((1, blk), jnp.float32),
-                  jnp.zeros((1, blk), jnp.float32))
+        def sl(a, s):
+            return a[s:s + 1, :]          # [1, 128] slice
+
+        state0 = (jnp.full((n_sub, _LANES), _BIG, jnp.float32),
+                  jnp.full((n_sub, _LANES), -1, jnp.int32),
+                  jnp.zeros((n_sub, _LANES), jnp.float32),
+                  jnp.zeros((n_sub, _LANES), jnp.float32))
+
+        def dma_for(cid, slot):
+            return pltpu.make_async_copy(
+                pack_hbm.at[pl.ds(cid * 16, 16), :],
+                tile_ref.at[slot], sem_ref.at[slot])
+
+        def sweep_tile(st, cid, slot):
+            """Wait for cluster `cid`'s tile in `slot` and sweep it."""
+            dma_for(cid, slot).wait()
+            tilt = tile_ref[slot].T       # [128, 16], one relayout
+            bt, bi, bb, bc = st
+            tc = jnp.minimum(bt, tmax2)
+            rt, ri, rb, rc = [], [], [], []
+            for s in range(n_sub):
+                rays_s = (sl(rox2, s), sl(roy2, s), sl(roz2, s),
+                          sl(rdx2, s), sl(rdy2, s), sl(rdz2, s))
+                if any_hit:
+                    ts = _sweep_slice_any(
+                        tilt, rays_s, sl(tmin2, s), sl(tc, s),
+                        sl(excl2, s), sl(bt, s))
+                    rt.append(ts)
+                    ri.append(jnp.where(ts < _BIG, 0, sl(bi, s)))
+                else:
+                    ts, is_, bs, cs = _sweep_slice(
+                        tilt, rays_s, sl(tmin2, s), sl(tc, s),
+                        sl(excl2, s),
+                        (sl(bt, s), sl(bi, s), sl(bb, s), sl(bc, s)))
+                    rt.append(ts)
+                    ri.append(is_)
+                    rb.append(bs)
+                    rc.append(cs)
+            cat = partial(jnp.concatenate, axis=0)
+            if any_hit:
+                return (cat(rt), cat(ri), bb, bc)
+            return (cat(rt), cat(ri), cat(rb), cat(rc))
 
         def cond(carry):
-            node, state = carry
+            node, state = carry[0], carry[3]
             in_tree = node < n_nodes
             if any_hit:
-                # Shadow rays finish at the first accepted hit.
+                # Shadow rays finish at the first accepted hit (the
+                # pending leaf is flushed after the loop).
                 return in_tree & jnp.any(state[1] < 0)
             return in_tree
 
         def body(carry):
-            node, state = carry
+            node, pend, slot, state, n_nodes_v, n_leaves_v = carry
             best_t = state[0]
-            # Node fetches are SCALAR loads from SMEM: the node's AABB
-            # and links are uniform across the whole lane block, and
-            # [NN,3] arrays in VMEM would pad each 3-wide row to a
-            # 128-lane tile (~42x VMEM blow-up — OOM at ~1M tris).
-            first = meta_ref[node * 3]
-            count = meta_ref[node * 3 + 1]
-            skip = meta_ref[node * 3 + 2]
+            # Node fetches are SCALAR loads from SMEM, uniform across
+            # the whole lane block.
+            count = count_ref[node]
+            link = links_ref[link_base + node]
+            hit_link = link >> 16
+            miss_link = link & 0xFFFF
 
-            tcap = jnp.minimum(best_t, tmax)
-            t0x = (nmin_ref[node * 3] - rox) * invx
-            t1x = (nmax_ref[node * 3] - rox) * invx
-            t0y = (nmin_ref[node * 3 + 1] - roy) * invy
-            t1y = (nmax_ref[node * 3 + 1] - roy) * invy
-            t0z = (nmin_ref[node * 3 + 2] - roz) * invz
-            t1z = (nmax_ref[node * 3 + 2] - roz) * invz
+            tcap = jnp.minimum(best_t, tmax2)
+            t0x = (nmin_ref[node * 3] - rox2) * invx
+            t1x = (nmax_ref[node * 3] - rox2) * invx
+            t0y = (nmin_ref[node * 3 + 1] - roy2) * invy
+            t1y = (nmax_ref[node * 3 + 1] - roy2) * invy
+            t0z = (nmin_ref[node * 3 + 2] - roz2) * invz
+            t1z = (nmax_ref[node * 3 + 2] - roz2) * invz
             tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                          jnp.minimum(t0y, t1y)),
                              jnp.minimum(t0z, t1z))
             tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                          jnp.maximum(t0y, t1y)),
                              jnp.maximum(t0z, t1z))
-            hit = (tf >= tn) & (tf >= tmin) & (tn <= tcap)
+            hit = (tf >= tn) & (tf >= tmin2) & (tn <= tcap)
             if any_hit:
                 hit = hit & (state[1] < 0)
             anyhit = jnp.any(hit)
 
             is_leaf = count > 0
+            found_leaf = is_leaf & anyhit
 
-            def sweep(st):
-                dma = pltpu.make_async_copy(
-                    pack_hbm.at[pl.ds(first * 16, 16), :],
-                    tile_ref, sem_ref)
-                dma.start()
-                dma.wait()
-                return _sweep_cluster(tile_ref[...], rays, tmin, tcap,
-                                      excl, st)
+            # Double-buffered leaf streaming: a found leaf's DMA
+            # starts NOW, but its sweep is deferred until the next
+            # leaf arrives (or the walk ends) — the fetch rides under
+            # the intervening node steps and the pending sweep.  The
+            # one-leaf lag only loosens tcap (best_t still only
+            # shrinks), so pruning stays sound.
+            def on_leaf(args):
+                st, pd, sl_ = args
+                st = jax.lax.cond(
+                    pd >= 0, lambda a: sweep_tile(a, pd, sl_),
+                    lambda a: a, st)
+                new_slot = jnp.where(pd >= 0, 1 - sl_, sl_)
+                dma_for(hit_link, new_slot).start()
+                return st, hit_link, new_slot
 
-            state = jax.lax.cond(is_leaf & anyhit, sweep, lambda s: s,
-                                 state)
-            nxt = jnp.where(anyhit & ~is_leaf, first, skip)
-            return nxt, state
+            state, pend, slot = jax.lax.cond(
+                found_leaf, on_leaf, lambda a: a, (state, pend, slot))
+            nxt = jnp.where(anyhit & ~is_leaf, hit_link, miss_link)
+            return (nxt, pend, slot, state, n_nodes_v + 1,
+                    n_leaves_v + found_leaf.astype(jnp.int32))
 
-        _, state = jax.lax.while_loop(cond, body,
-                                      (jnp.int32(0), state0))
+        _, pend, slot, state, n_nodes_v, n_leaves_v = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+                         state0, jnp.int32(0), jnp.int32(0)))
+        state = jax.lax.cond(
+            pend >= 0, lambda a: sweep_tile(a, pend, slot),
+            lambda a: a, state)
         best_t, best_i, best_b, best_c = state
         found = best_i >= 0
-        t_ref[...] = jnp.where(found, best_t, _BIG)[0]
-        idx_ref[...] = best_i[0]
-        bb_ref[...] = best_b[0]
-        bc_ref[...] = best_c[0]
+        t_ref[0] = jnp.where(found, best_t, _BIG)
+        idx_ref[0] = best_i
+        bb_ref[0] = best_b
+        bc_ref[0] = best_c
+        if stats:
+            nodes_ref[0] = jnp.full((n_sub, _LANES), n_nodes_v,
+                                    jnp.int32)
+            leaves_ref[0] = jnp.full((n_sub, _LANES), n_leaves_v,
+                                     jnp.int32)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("any_hit", "block", "interpret"))
-def _run(nmin, nmax, meta, pack, rox, roy, roz, rdx, rdy, rdz,
-         t_min, t_max, exclude, any_hit, block, interpret):
+@partial(jax.jit,
+         static_argnames=("any_hit", "block", "interpret", "stats"))
+def _run(nmin, nmax, meta, links, pack, rox, roy, roz, rdx, rdy, rdz,
+         t_min, t_max, exclude, any_hit, block, interpret, stats=False):
     R = rox.shape[0]
+    n_sub = block // _LANES
     grid = (R // block,)
-    lane_spec = pl.BlockSpec((block,), lambda i: (i,),
+
+    # Majority ray-direction octant per block selects the
+    # front-to-back link table (bit a set = negative along axis a).
+    o = ((rdx < 0).astype(jnp.int32) + 2 * (rdy < 0).astype(jnp.int32)
+         + 4 * (rdz < 0).astype(jnp.int32)).reshape(grid[0], block)
+    hist = jnp.sum(o[:, :, None] == jnp.arange(8)[None, None, :],
+                   axis=1)
+    oct = jnp.argmax(hist, axis=1).astype(jnp.int32)
+
+    def shape3(a):
+        return a.reshape(grid[0], n_sub, _LANES)
+
+    lane_spec = pl.BlockSpec((1, n_sub, _LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    # Cluster-tree nodes live in SMEM: the kernel reads them as
-    # scalars (one node per tree step, uniform over the block).
-    # Arrays are FLATTENED to 1-D first — SMEM is untiled scalar
-    # memory, but a 2-D [NN,3] shape still gets the (8,128) tiled
-    # layout, padding each 3-wide row to 512 B (~42x, OOM at 1M tris).
+    # Cluster-tree boxes/counts/links live in SMEM: the kernel reads
+    # them as scalars (one node per tree step, uniform over the
+    # block).  Arrays are FLATTENED to 1-D first — SMEM is untiled
+    # scalar memory, but a 2-D [NN,3] shape still gets the (8,128)
+    # tiled layout, padding each 3-wide row to 512 B (~42x, OOM at 1M
+    # tris).  SMEM budget at 1M tris (N=15593): boxes 374 KB + counts
+    # 62 KB + packed links 8N*4 = 499 KB ≈ 940 KB.
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shape = (
-        jax.ShapeDtypeStruct((R,), jnp.float32),
-        jax.ShapeDtypeStruct((R,), jnp.int32),
-        jax.ShapeDtypeStruct((R,), jnp.float32),
-        jax.ShapeDtypeStruct((R,), jnp.float32),
-    )
-    return pl.pallas_call(
-        _make_kernel(any_hit),
+    out_shape = [
+        jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.int32),
+        jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.float32),
+    ]
+    out_specs = [lane_spec] * 4
+    if stats:
+        # Per-block traversal counters (visited nodes, swept leaves),
+        # broadcast across the block's lanes.
+        out_shape += [jax.ShapeDtypeStruct(
+            (grid[0], n_sub, _LANES), jnp.int32)] * 2
+        out_specs += [lane_spec] * 2
+    outs = pl.pallas_call(
+        _make_kernel(any_hit, stats, n_sub),
         grid=grid,
-        in_specs=[smem, smem, smem,
-                  pl.BlockSpec(memory_space=pl.ANY)]  # pack in HBM
+        in_specs=[smem, smem, smem, smem, smem,
+                  pl.BlockSpec(memory_space=pl.ANY)]   # pack in HBM
         + [lane_spec] * 9,
-        out_specs=(lane_spec, lane_spec, lane_spec, lane_spec),
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((16, CLUSTER_SIZE), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 16, CLUSTER_SIZE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(nmin.reshape(-1), nmax.reshape(-1), meta.reshape(-1), pack,
-      rox, roy, roz, rdx, rdy, rdz, t_min, t_max, exclude)
+    )(nmin.reshape(-1), nmax.reshape(-1),
+      meta[:, 1] + 0, oct, links.reshape(-1),
+      pack, shape3(rox), shape3(roy), shape3(roz), shape3(rdx),
+      shape3(rdy), shape3(rdz), shape3(t_min), shape3(t_max),
+      shape3(exclude))
+    return tuple(x.reshape(R, *x.shape[3:]) if x.ndim == 3
+                 else x.reshape(R) for x in outs)
+
+
+def _spread3(x):
+    """Spread 8 bits so consecutive bits land 3 apart (morton)."""
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _ray_sort_key(cl, ro, rd):
+    """Coherence key: direction octant (top 3 bits) then an 8-bit/axis
+    morton code of the origin inside the scene box.  Rays sharing a
+    block then share a front-to-back order and a small cluster
+    working set — the wavefront analogue of the reference's
+    center-out tile ordering (src/render_driver.cpp:30-46)."""
+    lo = cl.node_min[0]
+    inv = 255.0 / jnp.maximum(cl.node_max[0] - lo, 1e-9)
+    q = jnp.clip((ro - lo) * inv, 0.0, 255.0).astype(jnp.int32)
+    m = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+         | (_spread3(q[:, 2]) << 2))
+    octant = ((rd[:, 0] < 0).astype(jnp.int32)
+              + 2 * (rd[:, 1] < 0).astype(jnp.int32)
+              + 4 * (rd[:, 2] < 0).astype(jnp.int32))
+    return (octant << 24) | m
 
 
 def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
                        any_hit: bool = False, block: int = DEFAULT_BLOCK,
-                       interpret: bool = False) -> Hit:
+                       interpret: bool = False,
+                       sort_rays: bool = True) -> Hit:
     """Drop-in intersector backed by the cluster kernel.
 
     Requires `scene.clusters` (scene/clusters.build_clusters)."""
     cl = scene.clusters
     R = ro.shape[0]
+    assert block % _LANES == 0, "block must be a multiple of 128 lanes"
     Rp = -(-R // block) * block
     pad = Rp - R
 
@@ -241,6 +403,16 @@ def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     if exclude is None:
         exclude = jnp.full((R,), -1, jnp.int32)
+
+    # Sort lanes by coherence key so blocks see small cluster unions;
+    # per-lane results are order-independent, so this only affects
+    # speed.  XLA's TPU sort/gather make this ~0.4 ms per 1M rays.
+    inv_perm = None
+    if sort_rays and R > block:
+        perm = jnp.argsort(_ray_sort_key(cl, ro, rd))
+        inv_perm = jnp.argsort(perm)
+        ro, rd = ro[perm], rd[perm]
+        t_min, t_max, exclude = t_min[perm], t_max[perm], exclude[perm]
 
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
@@ -254,9 +426,13 @@ def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
         exclude = zf(exclude)
 
     t, idx, bb, bc = _run(cl.node_min, cl.node_max, cl.node_meta,
-                          cl.pack, rox, roy, roz, rdx, rdy, rdz,
+                          cl.octant_links, cl.pack,
+                          rox, roy, roz, rdx, rdy, rdz,
                           t_min, t_max, exclude, any_hit, block,
                           interpret)
     if pad:
         t, idx, bb, bc = t[:R], idx[:R], bb[:R], bc[:R]
+    if inv_perm is not None:
+        t, idx, bb, bc = (t[inv_perm], idx[inv_perm], bb[inv_perm],
+                          bc[inv_perm])
     return Hit(t=t, tri=idx, bary_b=bb, bary_c=bc)

@@ -116,6 +116,9 @@ class ClusterArrays(NamedTuple):
     node_max: jnp.ndarray   # f32 [NC,3]
     node_meta: jnp.ndarray  # int32 [NC,3] = (cluster|left, count, skip)
     pack: jnp.ndarray       # f32 [K*16, 128] coefficient-major cluster tiles
+    # int32 [8, NC] per-direction-octant front-to-back links, packed
+    # (hit << 16) | miss — clusters.build_octant_links
+    octant_links: jnp.ndarray
 
 
 class SceneArrays(NamedTuple):

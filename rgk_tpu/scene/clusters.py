@@ -37,6 +37,65 @@ from .arrays import ClusterArrays, _f32, _i32
 CLUSTER_SIZE = 128
 
 
+def build_octant_links(first, count, skip, node_min, node_max):
+    """Per-direction-octant front-to-back traversal links.
+
+    The canonical skip-link layout fixes one DFS order, so rays
+    marching "against" that order sweep far clusters before near ones
+    and best_t pruning bites late.  The reference's kd traversal
+    visits the near child first per ray (src/scene_intersect.cpp:
+    300-321); the TPU equivalent is eight precomputed link tables,
+    one per ray-direction octant, over the SAME canonical node ids
+    (boxes and counts are shared — only the links differ):
+
+        links[o, 2n]   = hit target: near child (inner) / cluster id
+                         (leaf — identical in every octant)
+        links[o, 2n+1] = miss/done target: the octant-DFS successor
+
+    Octant bit a set means the ray direction is negative along axis a.
+    The near child of an inner node is chosen by box-center order
+    along the axis where the two children are most separated.
+
+    Returned PACKED as int32 [8, N] = (hit << 16) | miss so all eight
+    tables fit the kernel's SMEM budget (node ids and the sentinel
+    N must fit 16 bits — build_clusters asserts n_nodes < 32768).
+    """
+    n_nodes = len(count)
+    centers = (np.asarray(node_min) + np.asarray(node_max)) * 0.5
+    first = np.asarray(first, np.int64)
+    count = np.asarray(count, np.int64)
+    skip = np.asarray(skip, np.int64)
+
+    inner = count == 0
+    left = np.where(inner, first, 0)
+    right = np.where(inner, skip[np.clip(left, 0, n_nodes - 1)], 0)
+    d = centers[np.clip(right, 0, n_nodes - 1)] \
+        - centers[np.clip(left, 0, n_nodes - 1)]
+    split_axis = np.argmax(np.abs(d), axis=1)
+    # left_is_lower[n]: the left child sits at the lower coordinate
+    # along the split axis.
+    left_is_lower = d[np.arange(n_nodes), split_axis] >= 0.0
+
+    links = np.empty((8, n_nodes), np.int32)
+    for o in range(8):
+        neg = np.array([(o >> a) & 1 for a in range(3)], bool)
+        # near = lower child for positive direction, upper for negative
+        near_is_left = left_is_lower ^ neg[split_axis]
+        near = np.where(near_is_left, left, right)
+        far = np.where(near_is_left, right, left)
+        hit = np.where(inner, near, first).astype(np.int32)
+        miss = np.empty(n_nodes, np.int32)
+        stack = [(0, n_nodes)]
+        while stack:
+            n, succ = stack.pop()
+            miss[n] = succ
+            if inner[n]:
+                stack.append((int(far[n]), succ))
+                stack.append((int(near[n]), int(far[n])))
+        links[o] = (hit << 16) | miss
+    return links
+
+
 def build_clusters(vertices: np.ndarray, tri_vidx: np.ndarray,
                    tri_pack: np.ndarray,
                    cluster_size: int = CLUSTER_SIZE) -> ClusterArrays:
@@ -110,6 +169,11 @@ def build_clusters(vertices: np.ndarray, tri_vidx: np.ndarray,
     rows = rows.reshape(n_clusters, cluster_size, 16).transpose(
         0, 2, 1).reshape(n_clusters * 16, cluster_size)
 
+    assert meta.shape[0] < 32768, (
+        "cluster tree exceeds 16-bit node ids (~2.1M triangles at "
+        "cluster size 128); raise cluster_size for larger scenes")
+    links = build_octant_links(meta[:, 0], meta[:, 1], meta[:, 2],
+                               node_min, node_max)
     out.log(3, f"Clusters: {n_clusters} x {cluster_size} triangles, "
                f"{meta.shape[0]} tree nodes")
     return ClusterArrays(
@@ -117,6 +181,7 @@ def build_clusters(vertices: np.ndarray, tri_vidx: np.ndarray,
         node_max=_f32(node_max),
         node_meta=_i32(meta),
         pack=_f32(rows),
+        octant_links=_i32(links),
     )
 
 
@@ -127,4 +192,5 @@ def empty_clusters() -> ClusterArrays:
         node_max=_f32(np.zeros((1, 3))),
         node_meta=_i32(np.zeros((1, 3))),
         pack=_f32(np.zeros((16, 128))),
+        octant_links=_i32(np.ones((8, 1))),
     )
