@@ -225,10 +225,15 @@ def make_intersector(meta):
         def tree(scene, ro, rd, t_min, t_max, exclude=None,
                  any_hit=False):
             if jax.default_backend() == "tpu":
-                from .pallas_cluster import intersect_clusters
+                import os
+
+                from .pallas_cluster import (DEFAULT_BLOCK,
+                                             intersect_clusters)
+                blk = int(os.environ.get("RGK_CLUSTER_BLOCK",
+                                         DEFAULT_BLOCK))
                 return intersect_clusters(scene, ro, rd, t_min, t_max,
                                           exclude=exclude,
-                                          any_hit=any_hit)
+                                          any_hit=any_hit, block=blk)
             return intersect_bvh(scene, ro, rd, t_min, t_max,
                                  exclude=exclude, any_hit=any_hit)
 

@@ -369,21 +369,33 @@ def _spread3(x):
     return x
 
 
+def _morton3(q):
+    """[R,3] int coords (<=8 bits each) -> interleaved morton code."""
+    return (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+            | (_spread3(q[:, 2]) << 2))
+
+
 def _ray_sort_key(cl, ro, rd):
-    """Coherence key: direction octant (top 3 bits) then an 8-bit/axis
-    morton code of the origin inside the scene box.  Rays sharing a
-    block then share a front-to-back order and a small cluster
-    working set — the wavefront analogue of the reference's
-    center-out tile ordering (src/render_driver.cpp:30-46)."""
+    """Coherence key: direction octant (top 3 bits), then a 5-bit/axis
+    morton code of the origin inside the scene box, then a 4-bit/axis
+    morton code of the direction.  Rays sharing a block then share a
+    front-to-back order and a small cluster working set — the
+    wavefront analogue of the reference's center-out tile ordering
+    (src/render_driver.cpp:30-46).
+
+    The direction bits matter for single-origin bundles — camera rays
+    and point-light shadow rays (ops/intersect.py visibility traces
+    FROM the light) — where the origin morton is constant and only
+    direction separates a tight cone from a whole hemisphere fan.
+    """
     lo = cl.node_min[0]
-    inv = 255.0 / jnp.maximum(cl.node_max[0] - lo, 1e-9)
-    q = jnp.clip((ro - lo) * inv, 0.0, 255.0).astype(jnp.int32)
-    m = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
-         | (_spread3(q[:, 2]) << 2))
+    inv = 31.0 / jnp.maximum(cl.node_max[0] - lo, 1e-9)
+    qo = jnp.clip((ro - lo) * inv, 0.0, 31.0).astype(jnp.int32)
+    qd = jnp.clip((rd + 1.0) * 7.5, 0.0, 15.0).astype(jnp.int32)
     octant = ((rd[:, 0] < 0).astype(jnp.int32)
               + 2 * (rd[:, 1] < 0).astype(jnp.int32)
               + 4 * (rd[:, 2] < 0).astype(jnp.int32))
-    return (octant << 24) | m
+    return (octant << 27) | (_morton3(qo) << 12) | _morton3(qd)
 
 
 def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
