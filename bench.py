@@ -100,10 +100,12 @@ def bench_colonnade() -> float:
     s = cfg.settings
     s.xres = s.yres = 512
     s.multisample = 16
+    t0 = time.time()
     arrays, meta, _ = build_scene(cfg, build_bvh=True)
+    commit_s = time.time() - t0  # native binned-SAH + cluster/link build
     driver = RenderDriver(s, arrays, meta, cfg.get_camera(),
                           chunk_lanes=1 << 20)
-    return _measure(driver, 2)
+    return _measure(driver, 2), commit_s
 
 
 def main() -> int:
@@ -115,7 +117,7 @@ def main() -> int:
 
     base = _baselines()
     cornell = bench_cornell()
-    colonnade = bench_colonnade()
+    colonnade, commit_s = bench_colonnade()
 
     print(json.dumps({
         "metric": "colonnade_1m_mrays_per_s",
@@ -124,6 +126,7 @@ def main() -> int:
         "vs_baseline": round(colonnade / base["colonnade"], 3),
         "cornell_mrays_per_s": round(cornell, 3),
         "cornell_vs_baseline": round(cornell / base["cornell_box"], 3),
+        "colonnade_commit_s": round(commit_s, 2),
     }))
     return 0
 

@@ -77,6 +77,10 @@ def build_octant_links(first, count, skip, node_min, node_max):
     left_is_lower = d[np.arange(n_nodes), split_axis] >= 0.0
 
     links = np.empty((8, n_nodes), np.int32)
+    inner_idx = np.nonzero(inner)[0]  # ascending == DFS pre-order,
+    # so every parent is processed before its children and the
+    # successor propagation below needs just one linear pass:
+    #   miss(near(n)) = far(n);  miss(far(n)) = miss(n)
     for o in range(8):
         neg = np.array([(o >> a) & 1 for a in range(3)], bool)
         # near = lower child for positive direction, upper for negative
@@ -85,13 +89,10 @@ def build_octant_links(first, count, skip, node_min, node_max):
         far = np.where(near_is_left, right, left)
         hit = np.where(inner, near, first).astype(np.int32)
         miss = np.empty(n_nodes, np.int32)
-        stack = [(0, n_nodes)]
-        while stack:
-            n, succ = stack.pop()
-            miss[n] = succ
-            if inner[n]:
-                stack.append((int(far[n]), succ))
-                stack.append((int(near[n]), int(far[n])))
+        miss[0] = n_nodes
+        for n in inner_idx:
+            miss[near[n]] = far[n]
+            miss[far[n]] = miss[n]
         links[o] = (hit << 16) | miss
     return links
 

@@ -107,3 +107,40 @@ def test_native_speed(native):
     _build_numpy(cen, pmin, pmax, 4)
     t_numpy = time.time() - t0
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def test_octant_links_are_complete_dfs():
+    """Each octant's (hit, miss) link table must encode a full DFS of
+    the cluster tree: starting at the root and always descending on
+    inner nodes, every node is visited exactly once and the walk ends
+    at the sentinel n_nodes (scene/clusters.build_octant_links)."""
+    import numpy as np
+
+    from rgk_tpu.scene.bvh import _build_numpy
+    from rgk_tpu.scene.clusters import build_octant_links
+
+    rng = np.random.RandomState(3)
+    c = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    pmin = c - 0.01
+    pmax = c + 0.01
+    node_min, node_max, first, count, skip, _ = _build_numpy(
+        c, pmin, pmax, 1)
+    n = len(count)
+    links = build_octant_links(first, count, skip, node_min, node_max)
+    assert links.shape == (8, n)
+    inner = np.asarray(count) == 0
+    for o in range(8):
+        hit = links[o] >> 16
+        miss = links[o] & 0xFFFF
+        # Full DFS: inner -> hit (near child), leaf -> miss.
+        visited = []
+        node = 0
+        while node < n:
+            visited.append(node)
+            node = hit[node] if inner[node] else miss[node]
+            assert len(visited) <= n
+        assert sorted(visited) == list(range(n)), f"octant {o}"
+        # Leaves keep their canonical cluster ids in every octant.
+        leaf = ~inner
+        np.testing.assert_array_equal(hit[leaf],
+                                      np.asarray(first)[leaf])
