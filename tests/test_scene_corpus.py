@@ -59,3 +59,28 @@ def test_corpus_coverage():
     # HDRs, or author-machine absolute texture paths that were never
     # committed — SURVEY §2.9 caveat).
     assert built >= 19, f"only {built} corpus scenes built"
+
+
+def test_make_bigscene_builds_and_commits(tmp_path):
+    """The procedural big-scene generator (tools/make_bigscene.py, the
+    sponza stand-in for the flagship benchmark) must keep producing a
+    scene that parses and commits through the BVH/cluster path — the
+    bench's ground-truth pipeline must not rot silently."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = str(tmp_path / "bigscene")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "make_bigscene.py"),
+         "--dir", d, "--tris", "4000"],
+        check=True, cwd=repo, stdout=subprocess.DEVNULL)
+    cfg = load_config(os.path.join(d, "colonnade.json"))
+    arrays, meta, _ = build_scene(cfg, build_bvh=True)
+    assert meta.n_triangles > 3000
+    assert meta.has_bvh
+    # The cluster structure the TPU kernel consumes is present and
+    # self-consistent (octant link tables cover every node).
+    import numpy as np
+    n_nodes = np.asarray(arrays.clusters.node_meta).shape[0]
+    assert np.asarray(arrays.clusters.octant_links).shape == (8, n_nodes)
