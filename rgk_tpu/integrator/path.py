@@ -227,14 +227,18 @@ def _sample_path_light(scene, ctx):
 
 
 def _vertex_radiance(scene, meta, settings, tables, mat_pack, intersect,
-                     light, sp, p0):
+                     light, sp, p0, active=None):
     """NEE direct light + emission at one shaded vertex — the
     per-vertex radiance of the eye walk (path_tracer.cpp:427-460,
-    485-487), exclusive of BDPT connections and the final clamp."""
+    485-487), exclusive of BDPT connections and the final clamp.
+
+    `active` masks lanes whose radiance the caller will consume;
+    inactive lanes' shadow rays are culled inside visibility()."""
     to_light = light.pos - sp.pos
     dist2 = jnp.maximum(vm.dot(to_light, to_light), 1e-12)
     vi_l = to_light / jnp.sqrt(dist2)[..., None]
-    vis = isect.visibility(scene, intersect, light.pos, sp.pos)
+    vis = isect.visibility(scene, intersect, light.pos, sp.pos,
+                           active=active)
     f = bxdf_ops.eval_bxdf(scene, mat_pack, sp.mat_id,
                            _to_local(sp, vi_l),
                            _to_local(sp, sp.vr), sp.uv, tables,
@@ -355,7 +359,8 @@ def trace_wavefront_queued(scene, meta, settings, cam, px, py,
         sample_rad = q.sample_rad + jnp.where(sky_mask[..., None],
                                               contrib * sky, 0.0)
         total_here = _vertex_radiance(scene, meta, settings, tables,
-                                      mat_pack, intersect, light, sp, p0)
+                                      mat_pack, intersect, light, sp, p0,
+                                      active=act)
         total_here = jnp.minimum(total_here, clamp)
         sample_rad = sample_rad + jnp.where(act[..., None],
                                             contrib * total_here, 0.0)
@@ -507,7 +512,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
 
         # NEE direct light + emission (path_tracer.cpp:427-460, 485-487)
         total_here = _vertex_radiance(scene, meta, settings, tables,
-                                      mat_pack, intersect, light, sp, p0)
+                                      mat_pack, intersect, light, sp, p0,
+                                      active=act)
 
         # BDPT connections to every light vertex
         # (path_tracer.cpp:463-480)
@@ -515,7 +521,8 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
             def connect(k, acc):
                 l_valid = lrec["valid"][k]
                 l_pos = lrec["pos"][k]
-                vis_c = isect.visibility(scene, intersect, l_pos, sp.pos)
+                vis_c = isect.visibility(scene, intersect, l_pos, sp.pos,
+                                         active=l_valid & act)
                 light_to_p = vm.normalize(sp.pos - l_pos)
                 p_to_light = -light_to_p
                 f_light = bxdf_ops.eval_bxdf(

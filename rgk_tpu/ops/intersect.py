@@ -250,13 +250,21 @@ def make_intersector(meta):
     return flat
 
 
-def visibility(scene, intersect_fn, a, b, eps_mult: float = 20.0):
+def visibility(scene, intersect_fn, a, b, eps_mult: float = 20.0,
+               active=None):
     """Mutual visibility of points a, b: occluded iff any hit in
     (eps*20, |b-a| - eps*20) — reference Scene::Visibility
-    (src/scene.cpp:670-673)."""
+    (src/scene.cpp:670-673).
+
+    `active` (optional bool [R]) marks lanes whose result is consumed;
+    inactive lanes get an empty interval so the cluster kernel packs
+    them into no-op blocks instead of tracing garbage shade points."""
     d = b - a
     dist = vm.length(d)
     rd = d / dist[..., None]
     eps = scene.epsilon * eps_mult
-    hit = intersect_fn(scene, a, rd, eps, dist - eps, any_hit=True)
+    t_far = dist - eps
+    if active is not None:
+        t_far = jnp.where(active, t_far, -1.0)
+    hit = intersect_fn(scene, a, rd, eps, t_far, any_hit=True)
     return ~hit.valid

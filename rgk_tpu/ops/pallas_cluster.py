@@ -419,9 +419,14 @@ def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
     # Sort lanes by coherence key so blocks see small cluster unions;
     # per-lane results are order-independent, so this only affects
     # speed.  XLA's TPU sort/gather make this ~0.4 ms per 1M rays.
+    # Lanes with an empty interval (masked-off visibility rays, dead
+    # wavefront lanes) sort to the end, packing into blocks that fail
+    # the root slab immediately and cost nothing.
     inv_perm = None
     if sort_rays and R > block:
-        perm = jnp.argsort(_ray_sort_key(cl, ro, rd))
+        key = jnp.where(t_max <= t_min, jnp.int32(0x7FFFFFFF),
+                        _ray_sort_key(cl, ro, rd))
+        perm = jnp.argsort(key)
         inv_perm = jnp.argsort(perm)
         ro, rd = ro[perm], rd[perm]
         t_min, t_max, exclude = t_min[perm], t_max[perm], exclude[perm]
