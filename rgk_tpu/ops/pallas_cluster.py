@@ -77,12 +77,16 @@ def _sweep_slice(tilt, rays, tmin, tcap, excl, state):
     safe = jnp.abs(rddn) > _PARALLEL_EPS
     t = -rodn / jnp.where(safe, rddn, 1.0)
 
+    # Shared hit point: p = ro + t*rd once, then one dot per
+    # barycentric (the GEMM oracle's formulation, intersect._pack_test)
+    # — 6 fewer [128,128] planes than the expanded two-dot form.
+    px = rox + t * rdx
+    py = roy + t * rdy
+    pz = roz + t * rdz
     b0, bvx, bvy, bvz = coef(4), coef(5), coef(6), coef(7)
-    beta = (b0 + rox * bvx + roy * bvy + roz * bvz
-            + t * (rdx * bvx + rdy * bvy + rdz * bvz))
+    beta = b0 + px * bvx + py * bvy + pz * bvz
     g0, gvx, gvy, gvz = coef(8), coef(9), coef(10), coef(11)
-    gamma = (g0 + rox * gvx + roy * gvy + roz * gvz
-             + t * (rdx * gvx + rdy * gvy + rdz * gvz))
+    gamma = g0 + px * gvx + py * gvy + pz * gvz
 
     glass = coef(12) > 0.5
     pid = pltpu.bitcast(tilt[:, 13:14], jnp.int32)  # [128, 1]
@@ -121,12 +125,13 @@ def _sweep_slice_any(tilt, rays, tmin, tcap, excl, best_t):
     safe = jnp.abs(rddn) > _PARALLEL_EPS
     t = -rodn / jnp.where(safe, rddn, 1.0)
 
+    px = rox + t * rdx
+    py = roy + t * rdy
+    pz = roz + t * rdz
     b0, bvx, bvy, bvz = coef(4), coef(5), coef(6), coef(7)
-    beta = (b0 + rox * bvx + roy * bvy + roz * bvz
-            + t * (rdx * bvx + rdy * bvy + rdz * bvz))
+    beta = b0 + px * bvx + py * bvy + pz * bvz
     g0, gvx, gvy, gvz = coef(8), coef(9), coef(10), coef(11)
-    gamma = (g0 + rox * gvx + roy * gvy + roz * gvz
-             + t * (rdx * gvx + rdy * gvy + rdz * gvz))
+    gamma = g0 + px * gvx + py * gvy + pz * gvz
 
     glass = coef(12) > 0.5
     pid = pltpu.bitcast(tilt[:, 13:14], jnp.int32)
