@@ -186,3 +186,28 @@ def test_cluster_kernel_matches_brute():
                              block=256, interpret=True)
     np.testing.assert_array_equal(np.asarray(hb3.tri) >= 0,
                                   np.asarray(hc3.tri) >= 0)
+
+
+def test_cluster_kernel_empty_interval_lanes():
+    """Lanes with an empty (t_min > t_max) interval — masked-off
+    visibility rays, padding — must report no hit and must not
+    disturb neighbouring lanes through the coherence sort."""
+    from rgk_tpu.ops.pallas_cluster import intersect_clusters
+
+    scene = _cluster_scene(1000, seed=31)
+    ro, rd = _random_rays(512, seed=32)
+
+    full = intersect_clusters(scene, ro, rd, 0.0, 1e4, block=256,
+                              interpret=True)
+    dead = np.arange(512) % 3 == 0
+    t_max = jnp.where(jnp.asarray(dead), -1.0, 1e4)
+    mixed = intersect_clusters(scene, ro, rd, 0.0, t_max, block=256,
+                               interpret=True)
+    assert not np.any(np.asarray(mixed.tri)[dead] >= 0)
+    live = ~dead
+    np.testing.assert_array_equal(np.asarray(full.tri)[live],
+                                  np.asarray(mixed.tri)[live])
+    hit = np.asarray(full.tri)[live] >= 0
+    np.testing.assert_allclose(np.asarray(full.t)[live][hit],
+                               np.asarray(mixed.t)[live][hit],
+                               rtol=1e-6)
