@@ -85,7 +85,7 @@ def bench_cornell() -> float:
     return _measure(driver, 2)
 
 
-def bench_colonnade() -> float:
+def bench_colonnade() -> tuple[float, float]:
     from rgk_tpu.driver.render import RenderDriver
     from rgk_tpu.scene.config import build_scene, load_config
 

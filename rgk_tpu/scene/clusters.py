@@ -170,9 +170,12 @@ def build_clusters(vertices: np.ndarray, tri_vidx: np.ndarray,
     rows = rows.reshape(n_clusters, cluster_size, 16).transpose(
         0, 2, 1).reshape(n_clusters * 16, cluster_size)
 
-    assert meta.shape[0] < 32768, (
-        "cluster tree exceeds 16-bit node ids (~2.1M triangles at "
-        "cluster size 128); raise cluster_size for larger scenes")
+    if meta.shape[0] >= 32768:
+        # Not an assert: under python -O a silent (hit << 16) overflow
+        # would corrupt traversal links for >~2.1M-tri scenes.
+        raise ValueError(
+            "cluster tree exceeds 16-bit node ids (~2.1M triangles at "
+            "cluster size 128); raise cluster_size for larger scenes")
     links = build_octant_links(meta[:, 0], meta[:, 1], meta[:, 2],
                                node_min, node_max)
     out.log(3, f"Clusters: {n_clusters} x {cluster_size} triangles, "
@@ -187,11 +190,20 @@ def build_clusters(vertices: np.ndarray, tri_vidx: np.ndarray,
 
 
 def empty_clusters() -> ClusterArrays:
-    """Placeholder for flat scenes (keeps the pytree structure)."""
+    """Placeholder for flat scenes (keeps the pytree structure).
+
+    The root is a LEAF (count=1) whose miss link is n_nodes=1, and the
+    one pack cluster is all padding (glass=1, id=-1): if the cluster
+    kernel is ever invoked on a flat-scene pytree by mistake, every ray
+    does one no-op sweep and terminates instead of looping on a
+    degenerate inner node."""
+    pack = np.zeros((16, 128), np.float32)
+    pack[12, :] = 1.0                       # glass: never hits
+    pack[13, :] = np.full((128,), -1, np.int32).view(np.float32)
     return ClusterArrays(
         node_min=_f32(np.zeros((1, 3))),
         node_max=_f32(np.zeros((1, 3))),
-        node_meta=_i32(np.zeros((1, 3))),
-        pack=_f32(np.zeros((16, 128))),
+        node_meta=_i32(np.array([[0, 1, 1]])),
+        pack=_f32(pack),
         octant_links=_i32(np.ones((8, 1))),
     )
