@@ -53,7 +53,10 @@ from .intersect import Hit
 
 _PARALLEL_EPS = 1e-9
 _BIG = 3.4e38
-DEFAULT_BLOCK = 1024
+# Measured on the 1M-tri colonnade (tools/prof_block_sweep.py): 256
+# balances leaf-sweep union redundancy (shrinks with block size)
+# against per-block fixed cost; 128 ties, 1024 loses ~20%.
+DEFAULT_BLOCK = 256
 CLUSTER_SIZE = 128  # must match scene/clusters.CLUSTER_SIZE
 _LANES = 128
 
@@ -143,7 +146,7 @@ def _sweep_slice_any(tilt, rays, tmin, tcap, excl, best_t):
 
 
 def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
-    def kernel(nmin_ref, nmax_ref, count_ref, oct_ref, links_ref,
+    def kernel(nmin_hbm, nmax_hbm, count_hbm, oct_ref, links_hbm,
                pack_hbm,
                rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                tmin_ref, tmax_ref, excl_ref,
@@ -152,21 +155,46 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
         if stats:
             nodes_ref, leaves_ref = rest[0], rest[1]
             rest = rest[2:]
-        tile_ref, sem_ref = rest
+        (tile_ref, sem_ref, nmin_ref, nmax_ref, count_ref, links_ref,
+         tab_sem, st_t_ref, st_i_ref, st_b_ref, st_c_ref,
+         occ_ref) = rest
         n_nodes = count_ref.shape[0]
 
-        # This block's majority ray-direction octant selects the
-        # front-to-back link table (all eight live in SMEM, packed
-        # 16+16 bits per node).
+        # The cluster-tree tables (~750 KB at 1M tris) live in HBM and
+        # are DMA'd into PERSISTENT SMEM scratch once, on grid step 0.
+        # Passing them as SMEM inputs instead re-copies them on EVERY
+        # grid step — a measured ~36 us/block tax that dominated small
+        # ray blocks (70% of block time at block=128) and capped the
+        # work-efficiency win of narrow blocks.
+        @pl.when(pl.program_id(0) == 0)
+        def _load_tables():
+            for i, (src, dst) in enumerate((
+                    (nmin_hbm, nmin_ref), (nmax_hbm, nmax_ref),
+                    (count_hbm, count_ref), (links_hbm, links_ref))):
+                pltpu.make_async_copy(src, dst, tab_sem.at[i]).start()
+            for i, (src, dst) in enumerate((
+                    (nmin_hbm, nmin_ref), (nmax_hbm, nmax_ref),
+                    (count_hbm, count_ref), (links_hbm, links_ref))):
+                pltpu.make_async_copy(src, dst, tab_sem.at[i]).wait()
+
+        # ---- v5 design: ONE shared cursor per block walks the tree
+        # with full-width [S,128] slab tests (each vector->scalar
+        # `any` sync costs ~250 cycles and Mosaic cannot overlap them,
+        # so the sync must be amortized over the whole block), but
+        # leaf sweeps are GATED PER 128-LANE SLICE: the leaf's slab
+        # test is reduced to an S-bit mask in the same single sync
+        # (sum of per-sublane any x 2^s), and only slices with a
+        # hitting lane pay the [128,128] Badouel sweep.  This combines
+        # the wide block's cheap traversal with the narrow block's
+        # sweep work-efficiency (measured 4x fewer tri-tests/ray,
+        # tools/prof_block_sweep.py).
         link_base = oct_ref[pl.program_id(0)] * n_nodes
 
         def grid2(ref):
             return ref[0]                 # [S, 128]
 
-        ro2 = (grid2(rox_ref), grid2(roy_ref), grid2(roz_ref))
-        rd2 = (grid2(rdx_ref), grid2(rdy_ref), grid2(rdz_ref))
-        rox2, roy2, roz2 = ro2
-        rdx2, rdy2, rdz2 = rd2
+        rox2, roy2, roz2 = grid2(rox_ref), grid2(roy_ref), grid2(roz_ref)
+        rdx2, rdy2, rdz2 = grid2(rdx_ref), grid2(rdy_ref), grid2(rdz_ref)
         tmin2 = grid2(tmin_ref)
         tmax2 = grid2(tmax_ref)
         excl2 = grid2(excl_ref)
@@ -177,75 +205,74 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
 
         invx, invy, invz = inv(rdx2), inv(rdy2), inv(rdz2)
 
-        def sl(a, s):
-            return a[s:s + 1, :]          # [1, 128] slice
+        def sl(a, j):
+            return a[j:j + 1, :]          # slice j's [1, 128] row
 
-        state0 = (jnp.full((n_sub, _LANES), _BIG, jnp.float32),
-                  jnp.full((n_sub, _LANES), -1, jnp.int32),
-                  jnp.zeros((n_sub, _LANES), jnp.float32),
-                  jnp.zeros((n_sub, _LANES), jnp.float32))
+        bun = []
+        for j in range(n_sub):
+            bun.append(dict(
+                rays=(sl(rox2, j), sl(roy2, j), sl(roz2, j),
+                      sl(rdx2, j), sl(rdy2, j), sl(rdz2, j)),
+                tmin=sl(tmin2, j), tmax=sl(tmax2, j),
+                excl=sl(excl2, j),
+            ))
+
+        # Powers of two per sublane, for the packed per-slice mask.
+        pow2_col = (jnp.int32(1) << jax.lax.broadcasted_iota(
+            jnp.int32, (n_sub, 1), 0))
+
+        # Hit state lives in mutable VMEM scratch, NOT in the
+        # while-loop carry: loop-carried vectors force phi copies
+        # through every node step.  With scratch state the loop
+        # carries only scalars and leaf handling is a pure
+        # side-effect `pl.when`.
+        st_t_ref[...] = jnp.full((n_sub, _LANES), _BIG, jnp.float32)
+        st_i_ref[...] = jnp.full((n_sub, _LANES), -1, jnp.int32)
+        st_b_ref[...] = jnp.zeros((n_sub, _LANES), jnp.float32)
+        st_c_ref[...] = jnp.zeros((n_sub, _LANES), jnp.float32)
+        for j in range(n_sub):
+            occ_ref[j] = 1  # any_hit: 1 = unoccluded lanes remain
 
         def dma_for(cid, slot):
             return pltpu.make_async_copy(
                 pack_hbm.at[pl.ds(cid * 16, 16), :],
                 tile_ref.at[slot], sem_ref.at[slot])
 
-        def sweep_tile(st, cid, slot):
-            """Wait for cluster `cid`'s tile in `slot` and sweep it."""
-            dma_for(cid, slot).wait()
+        def sweep_tile(j, slot):
+            """Sweep the tile in `slot` (already DMA'd and waited)
+            against slice j, merging into scratch."""
             tilt = tile_ref[slot].T       # [128, 16], one relayout
-            bt, bi, bb, bc = st
-            tc = jnp.minimum(bt, tmax2)
-            rt, ri, rb, rc = [], [], [], []
-            for s in range(n_sub):
-                rays_s = (sl(rox2, s), sl(roy2, s), sl(roz2, s),
-                          sl(rdx2, s), sl(rdy2, s), sl(rdz2, s))
-                if any_hit:
-                    ts = _sweep_slice_any(
-                        tilt, rays_s, sl(tmin2, s), sl(tc, s),
-                        sl(excl2, s), sl(bt, s))
-                    rt.append(ts)
-                    ri.append(jnp.where(ts < _BIG, 0, sl(bi, s)))
-                else:
-                    ts, is_, bs, cs = _sweep_slice(
-                        tilt, rays_s, sl(tmin2, s), sl(tc, s),
-                        sl(excl2, s),
-                        (sl(bt, s), sl(bi, s), sl(bb, s), sl(bc, s)))
-                    rt.append(ts)
-                    ri.append(is_)
-                    rb.append(bs)
-                    rc.append(cs)
-            cat = partial(jnp.concatenate, axis=0)
+            b = bun[j]
+            row = slice(j, j + 1)
+            bt = st_t_ref[row, :]
+            bi = st_i_ref[row, :]
+            tc = jnp.minimum(bt, b["tmax"])
             if any_hit:
-                return (cat(rt), cat(ri), bb, bc)
-            return (cat(rt), cat(ri), cat(rb), cat(rc))
+                ts = _sweep_slice_any(tilt, b["rays"], b["tmin"], tc,
+                                      b["excl"], bt)
+                ni = jnp.where(ts < _BIG, 0, bi)
+                st_t_ref[row, :] = ts
+                st_i_ref[row, :] = ni
+                # Termination flag: 0 once every lane is occluded.
+                occ_ref[j] = jnp.any(ni < 0).astype(jnp.int32)
+            else:
+                ts, is_, bs, cs = _sweep_slice(
+                    tilt, b["rays"], b["tmin"], tc, b["excl"],
+                    (bt, bi, st_b_ref[row, :], st_c_ref[row, :]))
+                st_t_ref[row, :] = ts
+                st_i_ref[row, :] = is_
+                st_b_ref[row, :] = bs
+                st_c_ref[row, :] = cs
 
-        def cond(carry):
-            node, state = carry[0], carry[3]
-            in_tree = node < n_nodes
-            if any_hit:
-                # Shadow rays finish at the first accepted hit (the
-                # pending leaf is flushed after the loop).
-                return in_tree & jnp.any(state[1] < 0)
-            return in_tree
-
-        def body(carry):
-            node, pend, slot, state, n_nodes_v, n_leaves_v = carry
-            best_t = state[0]
-            # Node fetches are SCALAR loads from SMEM, uniform across
-            # the whole lane block.
-            count = count_ref[node]
-            link = links_ref[link_base + node]
-            hit_link = link >> 16
-            miss_link = link & 0xFFFF
-
-            tcap = jnp.minimum(best_t, tmax2)
-            t0x = (nmin_ref[node * 3] - rox2) * invx
-            t1x = (nmax_ref[node * 3] - rox2) * invx
-            t0y = (nmin_ref[node * 3 + 1] - roy2) * invy
-            t1y = (nmax_ref[node * 3 + 1] - roy2) * invy
-            t0z = (nmin_ref[node * 3 + 2] - roz2) * invz
-            t1z = (nmax_ref[node * 3 + 2] - roz2) * invz
+        def slab_bits(n, tcap, occ):
+            """Full-width slab test of node n -> packed per-slice hit
+            mask (bit j = some lane of slice j hits), ONE sync."""
+            t0x = (nmin_ref[n * 3] - rox2) * invx
+            t1x = (nmax_ref[n * 3] - rox2) * invx
+            t0y = (nmin_ref[n * 3 + 1] - roy2) * invy
+            t1y = (nmax_ref[n * 3 + 1] - roy2) * invy
+            t0z = (nmin_ref[n * 3 + 2] - roz2) * invz
+            t1z = (nmax_ref[n * 3 + 2] - roz2) * invz
             tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                          jnp.minimum(t0y, t1y)),
                              jnp.minimum(t0z, t1z))
@@ -254,40 +281,95 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
                              jnp.maximum(t0z, t1z))
             hit = (tf >= tn) & (tf >= tmin2) & (tn <= tcap)
             if any_hit:
-                hit = hit & (state[1] < 0)
-            anyhit = jnp.any(hit)
+                hit = hit & ~occ
+            any_s = jnp.any(hit, axis=1, keepdims=True)  # [S,1]
+            return jnp.sum(jnp.where(any_s, pow2_col, 0))
 
-            is_leaf = count > 0
-            found_leaf = is_leaf & anyhit
+        def cond(carry):
+            node = carry[0]
+            alive = node < n_nodes
+            if any_hit:
+                work = occ_ref[0]
+                for j in range(1, n_sub):
+                    work = work + occ_ref[j]
+                alive = alive & (work > 0)
+            return alive
 
-            # Double-buffered leaf streaming: a found leaf's DMA
-            # starts NOW, but its sweep is deferred until the next
-            # leaf arrives (or the walk ends) — the fetch rides under
-            # the intervening node steps and the pending sweep.  The
-            # one-leaf lag only loosens tcap (best_t still only
+        def body(carry):
+            """One outer step = march the shared cursor to the NEXT
+            leaf any lane hits (inner loop, scalar carry only), then
+            handle the leaf: sweep the PENDING leaf's hitting slices,
+            start this leaf's DMA."""
+            node, pend, pbits, slot, steps_v, leaves_v = carry
+            tcap = jnp.minimum(st_t_ref[...], tmax2)
+            occ = (st_i_ref[...] >= 0) if any_hit else None
+
+            def inner_cond(c):
+                n, stop = c[0], c[1]
+                return (n < n_nodes) & ~stop
+
+            def inner_body(c):
+                n, _, _, steps = c
+                count = count_ref[n]
+                link = links_ref[link_base + n]
+                bits = slab_bits(n, tcap, occ)
+                anyh = bits != 0
+                is_leaf = count > 0
+                stop = anyh & is_leaf
+                nxt = jnp.where(anyh & ~is_leaf, link >> 16,
+                                link & 0xFFFF)
+                return (jnp.where(stop, n, nxt), stop, bits, steps + 1)
+
+            leaf_node, stop, bits, steps = jax.lax.while_loop(
+                inner_cond, inner_body,
+                (node, jnp.bool_(False), jnp.int32(0), jnp.int32(0)))
+            llink = links_ref[link_base
+                              + jnp.minimum(leaf_node, n_nodes - 1)]
+            new_slot = jnp.where(stop & (pend >= 0), 1 - slot, slot)
+
+            # Double-buffered leaf streaming: the found leaf's DMA
+            # starts NOW, its sweep is deferred until the next leaf
+            # (or walk end) so the fetch rides under the node marches.
+            # The one-leaf lag only loosens tcap (best_t still only
             # shrinks), so pruning stays sound.
-            def on_leaf(args):
-                st, pd, sl_ = args
-                st = jax.lax.cond(
-                    pd >= 0, lambda a: sweep_tile(a, pd, sl_),
-                    lambda a: a, st)
-                new_slot = jnp.where(pd >= 0, 1 - sl_, sl_)
-                dma_for(hit_link, new_slot).start()
-                return st, hit_link, new_slot
+            @pl.when(stop)
+            def _handle_leaf():
+                # ONE semaphore wait for the pending tile (waits are
+                # consume-once), then per-slice gated sweeps.
+                @pl.when(pbits != 0)
+                def _wait_pending():
+                    dma_for(pend, slot).wait()
+                for j in range(n_sub):
+                    @pl.when((pbits >> j) % 2 == 1)
+                    def _sweep_pending(j=j):
+                        sweep_tile(j, slot)
+                dma_for(llink >> 16, new_slot).start()
 
-            state, pend, slot = jax.lax.cond(
-                found_leaf, on_leaf, lambda a: a, (state, pend, slot))
-            nxt = jnp.where(anyhit & ~is_leaf, hit_link, miss_link)
-            return (nxt, pend, slot, state, n_nodes_v + 1,
-                    n_leaves_v + found_leaf.astype(jnp.int32))
+            return (jnp.where(stop, llink & 0xFFFF, leaf_node),
+                    jnp.where(stop, llink >> 16, pend),
+                    jnp.where(stop, bits, pbits),
+                    new_slot,
+                    steps_v + steps,
+                    leaves_v + stop.astype(jnp.int32))
 
-        _, pend, slot, state, n_nodes_v, n_leaves_v = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(-1), jnp.int32(0),
-                         state0, jnp.int32(0), jnp.int32(0)))
-        state = jax.lax.cond(
-            pend >= 0, lambda a: sweep_tile(a, pend, slot),
-            lambda a: a, state)
-        best_t, best_i, best_b, best_c = state
+        init = (jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        _, pend, pbits, slot, n_nodes_v, n_leaves_v = \
+            jax.lax.while_loop(cond, body, init)
+
+        # Flush the pending leaf's hitting slices.
+        @pl.when(pbits != 0)
+        def _wait_final():
+            dma_for(pend, slot).wait()
+        for j in range(n_sub):
+            @pl.when((pbits >> j) % 2 == 1)
+            def _flush(j=j):
+                sweep_tile(j, slot)
+
+        best_t = st_t_ref[...]
+        best_i = st_i_ref[...]
+        best_b = st_b_ref[...]
+        best_c = st_c_ref[...]
         found = best_i >= 0
         t_ref[0] = jnp.where(found, best_t, _BIG)
         idx_ref[0] = best_i
@@ -323,14 +405,16 @@ def _run(nmin, nmax, meta, links, pack, rox, roy, roz, rdx, rdy, rdz,
 
     lane_spec = pl.BlockSpec((1, n_sub, _LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    # Cluster-tree boxes/counts/links live in SMEM: the kernel reads
-    # them as scalars (one node per tree step, uniform over the
-    # block).  Arrays are FLATTENED to 1-D first — SMEM is untiled
-    # scalar memory, but a 2-D [NN,3] shape still gets the (8,128)
-    # tiled layout, padding each 3-wide row to 512 B (~42x, OOM at 1M
-    # tris).  SMEM budget at 1M tris (N=15593): boxes 374 KB + counts
-    # 62 KB + packed links 8N*4 = 499 KB ≈ 940 KB.
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # Cluster-tree boxes/counts/links are HBM inputs; the kernel DMAs
+    # them into persistent SMEM *scratch* on grid step 0 (see
+    # _make_kernel) and reads them as scalars (one node per tree step,
+    # uniform over the block).  Arrays are FLATTENED to 1-D — SMEM is
+    # untiled scalar memory, but a 2-D [NN,3] shape still gets the
+    # (8,128) tiled layout, padding each 3-wide row to 512 B (~42x,
+    # OOM at 1M tris).  SMEM budget at 1M tris (N=15593): boxes 374 KB
+    # + counts 62 KB + packed links 8N*4 = 499 KB ≈ 940 KB.
+    smem = pl.BlockSpec(memory_space=pl.ANY)
+    n_nodes = int(meta.shape[0])
     out_shape = [
         jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.float32),
         jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.int32),
@@ -347,7 +431,12 @@ def _run(nmin, nmax, meta, links, pack, rox, roy, roz, rdx, rdy, rdz,
     outs = pl.pallas_call(
         _make_kernel(any_hit, stats, n_sub),
         grid=grid,
-        in_specs=[smem, smem, smem, smem, smem,
+        in_specs=[smem, smem, smem,
+                  # per-block majority octants: small [n_blocks] i32,
+                  # whole-array SMEM (rank-1 SMEM blocks must be whole
+                  # or 128-multiples on Mosaic)
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  smem,
                   pl.BlockSpec(memory_space=pl.ANY)]   # pack in HBM
         + [lane_spec] * 9,
         out_specs=tuple(out_specs),
@@ -355,7 +444,20 @@ def _run(nmin, nmax, meta, links, pack, rox, roy, roz, rdx, rdy, rdz,
         scratch_shapes=[
             pltpu.VMEM((2, 16, CLUSTER_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((n_nodes * 3,), jnp.float32),   # node_min
+            pltpu.SMEM((n_nodes * 3,), jnp.float32),   # node_max
+            pltpu.SMEM((n_nodes,), jnp.int32),         # counts
+            pltpu.SMEM((8 * n_nodes,), jnp.int32),     # octant links
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((n_sub, _LANES), jnp.float32),  # best t
+            pltpu.VMEM((n_sub, _LANES), jnp.int32),    # best tri
+            pltpu.VMEM((n_sub, _LANES), jnp.float32),  # best beta
+            pltpu.VMEM((n_sub, _LANES), jnp.float32),  # best gamma
+            pltpu.SMEM((n_sub,), jnp.int32),           # any_hit flags
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),  # sequential grid:
+        # step 0 loads the SMEM tables every later step reads
         interpret=interpret,
     )(nmin.reshape(-1), nmax.reshape(-1),
       meta[:, 1] + 0, oct, links.reshape(-1),
