@@ -258,13 +258,20 @@ def visibility(scene, intersect_fn, a, b, eps_mult: float = 20.0,
 
     `active` (optional bool [R]) marks lanes whose result is consumed;
     inactive lanes get an empty interval so the cluster kernel packs
-    them into no-op blocks instead of tracing garbage shade points."""
-    d = b - a
+    them into no-op blocks instead of tracing garbage shade points.
+
+    The ray is traced FROM b TO a (surface point toward the light for
+    NEE): occluders cluster near the surface end, so a front-to-back
+    any-hit traversal exits after a handful of clusters instead of
+    marching most of the segment (the reference's Visibility traces
+    light->point, scene.cpp:670-673, but the predicate is symmetric —
+    only the interval ends are epsilon-trimmed)."""
+    d = a - b
     dist = vm.length(d)
     rd = d / dist[..., None]
     eps = scene.epsilon * eps_mult
     t_far = dist - eps
     if active is not None:
         t_far = jnp.where(active, t_far, -1.0)
-    hit = intersect_fn(scene, a, rd, eps, t_far, any_hit=True)
+    hit = intersect_fn(scene, b, rd, eps, t_far, any_hit=True)
     return ~hit.valid

@@ -238,10 +238,9 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
                 pack_hbm.at[pl.ds(cid * 16, 16), :],
                 tile_ref.at[slot], sem_ref.at[slot])
 
-        def sweep_tile(j, slot):
-            """Sweep the tile in `slot` (already DMA'd and waited)
-            against slice j, merging into scratch."""
-            tilt = tile_ref[slot].T       # [128, 16], one relayout
+        def sweep_tile(j, tilt):
+            """Sweep a transposed tile against slice j, merging into
+            scratch."""
             b = bun[j]
             row = slice(j, j + 1)
             bt = st_t_ref[row, :]
@@ -339,10 +338,14 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
                 @pl.when(pbits != 0)
                 def _wait_pending():
                     dma_for(pend, slot).wait()
+                # ONE [16,128] transpose per LEAF, shared by all its
+                # gated slice sweeps (a per-sweep transpose was ~13%
+                # of kernel time).
+                tilt = tile_ref[slot].T
                 for j in range(n_sub):
                     @pl.when((pbits >> j) % 2 == 1)
                     def _sweep_pending(j=j):
-                        sweep_tile(j, slot)
+                        sweep_tile(j, tilt)
                 dma_for(llink >> 16, new_slot).start()
 
             return (jnp.where(stop, llink & 0xFFFF, leaf_node),
@@ -361,10 +364,11 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
         @pl.when(pbits != 0)
         def _wait_final():
             dma_for(pend, slot).wait()
+        tilt_f = tile_ref[slot].T
         for j in range(n_sub):
             @pl.when((pbits >> j) % 2 == 1)
             def _flush(j=j):
-                sweep_tile(j, slot)
+                sweep_tile(j, tilt_f)
 
         best_t = st_t_ref[...]
         best_i = st_i_ref[...]
