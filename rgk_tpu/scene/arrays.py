@@ -145,8 +145,9 @@ class SceneArrays(NamedTuple):
     # row.  One [R,24] gather replaces nine [V,*] gathers per hit —
     # row-gather kernel time dominates the shading cost on TPU.
     tri_shade: jnp.ndarray  # f32 [M, 24]
-    # The 3 vertex positions per triangle (areal light sampling).
-    tri_verts: jnp.ndarray  # f32 [M, 9]
+    # (areal-light sampling reads the de-indexed lights.areal_rows
+    # table; per-triangle vertex positions are NOT carried — a dead
+    # [M,9] field cost 36 MB of HBM + upload at 1M tris)
     # LTC fit tables ride in the pytree (ops/ltc.py): closure-constant
     # gather operands hit an XLA slow path; traced args do not.
     ltc_rows: jnp.ndarray   # f32 [2*64*64, 10]

@@ -351,7 +351,11 @@ class SceneBuilder:
             from .bvh import build_bvh as _build
             from .clusters import build_clusters
             bvh = _build(vertices, tri_vidx, leaf_size=bvh_leaf_size)
-            clusters = build_clusters(vertices, tri_vidx, pack_glass)
+            # The cluster build reuses the BVH's SAH triangle order:
+            # one 1M-tri SAH sweep feeds both structures (commit-time
+            # measurement, tools/prof_commit.py).
+            clusters = build_clusters(vertices, tri_vidx, pack_glass,
+                                      order=np.asarray(bvh.prim_idx))
             has_bvh = True
         else:
             from .clusters import empty_clusters
@@ -376,14 +380,9 @@ class SceneBuilder:
             tri_meta=_i32(np.concatenate(
                 [tri_vidx, tri_mat[:, None]], axis=1)),
             tri_shade=_f32(np.concatenate([
-                normals[tri_vidx[:, 0]], normals[tri_vidx[:, 1]],
-                normals[tri_vidx[:, 2]],
-                uvs[tri_vidx[:, 0]], uvs[tri_vidx[:, 1]],
-                uvs[tri_vidx[:, 2]],
-                tangents[tri_vidx[:, 0]], tangents[tri_vidx[:, 1]],
-                tangents[tri_vidx[:, 2]]], axis=1)),
-            tri_verts=_f32(np.concatenate(
-                [a, b, c], axis=1)),
+                normals[tri_vidx].reshape(-1, 9),
+                uvs[tri_vidx].reshape(-1, 6),
+                tangents[tri_vidx].reshape(-1, 9)], axis=1)),
             ltc_rows=_ltc_rows(),
             pack_mp=_pack_mp_or_empty(
                 pack_glass,

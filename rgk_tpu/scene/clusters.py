@@ -99,10 +99,15 @@ def build_octant_links(first, count, skip, node_min, node_max):
 
 def build_clusters(vertices: np.ndarray, tri_vidx: np.ndarray,
                    tri_pack: np.ndarray,
-                   cluster_size: int = CLUSTER_SIZE) -> ClusterArrays:
+                   cluster_size: int = CLUSTER_SIZE,
+                   order=None) -> ClusterArrays:
     """Build the two-level cluster structure.
 
     tri_pack: [M, 12|13] Badouel pack (13th col = thin-glass flag).
+    `order` (optional): a precomputed SAH DFS triangle order — the
+    commit passes the leaf-4 BVH's own order so the 1M-tri SAH sweep
+    runs ONCE for both structures (the DFS orders differ only in leaf
+    granularity, which the fixed-size chop erases anyway).
     """
     from .bvh import _build_numpy, _load_native_builder
 
@@ -116,9 +121,10 @@ def build_clusters(vertices: np.ndarray, tri_vidx: np.ndarray,
 
     builder = _load_native_builder()
     build = builder if builder is not None else _build_numpy
-    # Level 1: SAH ordering of the triangles (small leaves = tight
-    # clusters after the fixed-size chop).
-    _, _, _, _, _, order = build(centroids, prim_min, prim_max, 8)
+    if order is None:
+        # Level 1: SAH ordering of the triangles (small leaves =
+        # tight clusters after the fixed-size chop).
+        _, _, _, _, _, order = build(centroids, prim_min, prim_max, 8)
 
     k = -(-m // cluster_size) * cluster_size
     pad = k - m
