@@ -85,7 +85,53 @@ def bench_cornell() -> float:
     return _measure(driver, 2)
 
 
-def bench_colonnade() -> tuple[float, float]:
+def parity_gate(arrays, meta, cfg) -> float:
+    """Pixel-correctness gate behind every colonnade BENCH number:
+    render a small frame through the TPU CLUSTER kernel and through
+    the host-CPU BVH path at identical (seed, pixel, sample), and
+    require the images to agree.  A traversal bug that biased hits
+    would pass throughput benches but fail here (oracle pairing in
+    the spirit of comparing against the reference's own EXR output,
+    reference src/texture.cpp:356-374).
+
+    Returns the correlation; raises AssertionError below 0.995."""
+    import copy
+
+    import jax
+    import numpy as np
+
+    from rgk_tpu.driver.render import RenderDriver
+
+    import dataclasses
+
+    s = copy.deepcopy(cfg.settings)
+    s.xres = s.yres = 64
+    s.multisample = 2
+    s.recursion_max = 3
+    cam = dataclasses.replace(cfg.get_camera(), xres=s.xres,
+                              yres=s.yres)
+
+    def render(device):
+        with jax.default_device(device):
+            local = jax.device_put(arrays, device)
+            d = RenderDriver(s, local, meta, cam)
+            d.render_round(0)
+            d.fetch_accumulation()
+            return np.asarray(d.acc.sum, np.float64)
+
+    img_tpu = render(jax.devices()[0])
+    img_cpu = render(jax.devices("cpu")[0])
+    a = img_tpu.ravel()
+    b = img_cpu.ravel()
+    corr = float(np.corrcoef(a, b)[0, 1])
+    rel = float(np.abs(a - b).mean() / max(b.mean(), 1e-9))
+    assert corr > 0.995 and rel < 0.05, (
+        f"cluster-kernel image parity FAILED: corr={corr:.4f} "
+        f"mean-rel-diff={rel:.4f}")
+    return corr
+
+
+def bench_colonnade() -> tuple[float, float, float]:
     from rgk_tpu.driver.render import RenderDriver
     from rgk_tpu.scene.config import build_scene, load_config
 
@@ -103,9 +149,10 @@ def bench_colonnade() -> tuple[float, float]:
     t0 = time.time()
     arrays, meta, _ = build_scene(cfg, build_bvh=True)
     commit_s = time.time() - t0  # native binned-SAH + cluster/link build
+    corr = parity_gate(arrays, meta, cfg)
     driver = RenderDriver(s, arrays, meta, cfg.get_camera(),
                           chunk_lanes=1 << 20)
-    return _measure(driver, 2), commit_s
+    return _measure(driver, 2), commit_s, corr
 
 
 def main() -> int:
@@ -117,7 +164,7 @@ def main() -> int:
 
     base = _baselines()
     cornell = bench_cornell()
-    colonnade, commit_s = bench_colonnade()
+    colonnade, commit_s, parity = bench_colonnade()
 
     print(json.dumps({
         "metric": "colonnade_1m_mrays_per_s",
@@ -127,6 +174,10 @@ def main() -> int:
         "cornell_mrays_per_s": round(cornell, 3),
         "cornell_vs_baseline": round(cornell / base["cornell_box"], 3),
         "colonnade_commit_s": round(commit_s, 2),
+        # TPU-cluster-kernel vs host-CPU-BVH image correlation at
+        # identical (seed, pixel, sample) — the pixel gate behind the
+        # throughput number (bench aborts below 0.995).
+        "colonnade_tpu_cpu_parity": round(parity, 4),
     }))
     return 0
 

@@ -73,15 +73,18 @@ class RenderDriver:
         # Pixel-block decomposition.  The queued tracer (one lane per
         # pixel, samples traced back-to-back — integrator/path.py
         # trace_wavefront_queued) is used whenever there is no BDPT
-        # splatting and no mesh; it keeps lane occupancy near 100%
-        # where the per-sample wavefront pays max-depth sweeps on
-        # mostly-dead lanes.  BDPT / multi-device paths use the
-        # per-(pixel, sample) wavefront.
+        # splatting; it keeps lane occupancy near 100% where the
+        # per-sample wavefront pays max-depth sweeps on mostly-dead
+        # lanes.  Under a device mesh it runs inside shard_map
+        # (parallel/mesh.py make_queued_fn) with lanes sharded and
+        # the ray counter psum'd — so single-chip occupancy wins
+        # carry to multi-chip renders.  BDPT uses the per-(pixel,
+        # sample) wavefront (splat buffers need the full lane grid).
         ms = max(1, int(settings.multisample))
         self.ms = ms
         self.n_procs = multihost.process_count()
         self.proc_id = multihost.process_index()
-        self._queued = mesh is None and int(settings.reverse) == 0
+        self._queued = int(settings.reverse) == 0
         block = (self.chunk_lanes if self._queued
                  else max(1, self.chunk_lanes // ms))
         n_pixels = xres * yres
@@ -110,7 +113,9 @@ class RenderDriver:
         lane_fn = None
         if mesh is not None:
             self.scene = mesh.shard_scene(scene)
-            lane_fn = mesh.make_render_fn(meta, settings, sampler_mode)
+            if not self._queued:
+                lane_fn = mesh.make_render_fn(meta, settings,
+                                              sampler_mode)
         else:
             lane_fn = jax.jit(partial(
                 render_lanes, meta=self.meta, settings=self.settings,
@@ -131,12 +136,20 @@ class RenderDriver:
         if self._queued:
             from ..integrator.path import trace_wavefront_queued
 
+            qfn = (mesh.make_queued_fn(meta, settings, sampler_mode)
+                   if mesh is not None else None)
+
             def _round_block(acc, rays_acc, scene_arg, cam, px, py,
                              s_local, round_off, seed, pix_idx):
                 del s_local
-                rad, rays = trace_wavefront_queued(
-                    scene_arg, meta, settings, cam, px, py, round_off,
-                    ms, seed, sampler_mode=self.sampler_mode)
+                if qfn is not None:
+                    rad, rays = qfn(scene_arg, cam, px, py, round_off,
+                                    seed)
+                else:
+                    rad, rays = trace_wavefront_queued(
+                        scene_arg, meta, settings, cam, px, py,
+                        round_off, ms, seed,
+                        sampler_mode=self.sampler_mode)
                 acc = acc.at[pix_idx].add(rad)
                 return acc, rays_acc + rays.astype(jnp.float32)
         else:

@@ -305,18 +305,25 @@ def trace_wavefront_queued(scene, meta, settings, cam, px, py,
         radiance: jnp.ndarray    # f32 [R,3] flushed over finished samples
         rays: jnp.ndarray        # int32 [] extension-ray counter
 
+    # Zeros DERIVED FROM px: under shard_map (parallel/mesh.py
+    # make_queued_fn) the carry must be device-varying from the
+    # start or the while_loop's carry types mismatch after the first
+    # iteration; outside shard_map these adds fuse away.
+    vz_f = px.astype(jnp.float32) * 0.0
+    vz_i = px * 0
     init = _Q(
-        ro=jnp.zeros((R, 3), jnp.float32),
-        rd=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
-                            (R, 3)),
-        last_tri=jnp.full((R,), -1, jnp.int32),
-        contribution=jnp.zeros((R, 3), jnp.float32),
-        alive=jnp.zeros((R,), bool),
-        bounce=jnp.zeros((R,), jnp.int32),
-        s=jnp.broadcast_to(jnp.uint32(sample0), (R,)),
-        sample_rad=jnp.zeros((R, 3), jnp.float32),
-        radiance=jnp.zeros((R, 3), jnp.float32),
-        rays=jnp.zeros((), jnp.int32),
+        ro=vz_f[:, None] + jnp.zeros((1, 3), jnp.float32),
+        rd=vz_f[:, None] + jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        last_tri=vz_i - 1,
+        contribution=vz_f[:, None] + jnp.zeros((1, 3), jnp.float32),
+        alive=px < 0,
+        bounce=vz_i,
+        s=vz_i.astype(jnp.uint32) + jnp.uint32(sample0)
+        if isinstance(sample0, int)
+        else vz_i.astype(jnp.uint32) + sample0,
+        sample_rad=vz_f[:, None] + jnp.zeros((1, 3), jnp.float32),
+        radiance=vz_f[:, None] + jnp.zeros((1, 3), jnp.float32),
+        rays=jnp.sum(vz_i),
     )
 
     def cond(q):

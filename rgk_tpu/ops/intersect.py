@@ -215,6 +215,16 @@ def intersect_bvh(scene, ro, rd, t_min, t_max, exclude=None,
                bary_b=bb, bary_c=bc)
 
 
+def _backend() -> str:
+    """Effective backend at trace time: honors jax.default_device
+    (used e.g. by bench.py's TPU-vs-CPU parity gate) before falling
+    back to the process default."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def make_intersector(meta):
     """Pick the intersection routine for a committed scene.
 
@@ -224,7 +234,7 @@ def make_intersector(meta):
     if meta.has_bvh:
         def tree(scene, ro, rd, t_min, t_max, exclude=None,
                  any_hit=False):
-            if jax.default_backend() == "tpu":
+            if _backend() == "tpu":
                 import os
 
                 from .pallas_cluster import (DEFAULT_BLOCK,
@@ -240,7 +250,7 @@ def make_intersector(meta):
         return tree
 
     def flat(scene, ro, rd, t_min, t_max, exclude=None, any_hit=False):
-        if jax.default_backend() == "tpu":
+        if _backend() == "tpu":
             from .pallas_intersect import intersect_pallas
             return intersect_pallas(scene, ro, rd, t_min, t_max,
                                     exclude=exclude, any_hit=any_hit)

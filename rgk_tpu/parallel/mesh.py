@@ -51,6 +51,37 @@ class MeshContext:
             scene, jax.tree_util.tree_map(lambda _: self.replicated,
                                           scene))
 
+    def make_queued_fn(self, meta, settings, sampler_mode: int = 1):
+        """Sharded queued-regeneration tracer: one lane per PIXEL,
+        samples traced back-to-back per lane (integrator/path.py
+        trace_wavefront_queued), lanes sharded over the mesh via
+        shard_map.
+
+        The tracer is a pure per-lane while_loop, so sharding is
+        exact: every per-(pixel, sample) value is a pure function of
+        (seed, pixel, sample) regardless of lane placement, keeping
+        the bitwise 1-dev == N-dev contract.  shard_map (not plain
+        jit sharding) keeps the intersector's per-shard ray SORT
+        device-local — under global sharding XLA would all-gather the
+        wavefront around the argsort.  The scalar ray counter is the
+        only cross-device communication (psum)."""
+        from jax import shard_map
+
+        from ..integrator.path import trace_wavefront_queued
+
+        ms = max(1, int(settings.multisample))
+
+        def local(scene, cam, px, py, round_off, seed):
+            rad, rays = trace_wavefront_queued(
+                scene, meta, settings, cam, px, py, round_off, ms,
+                seed, sampler_mode=sampler_mode)
+            return rad, jax.lax.psum(rays, "d")
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P("d"), P("d"), P(), P()),
+            out_specs=(P("d"), P()))
+
     def make_render_fn(self, meta, settings, sampler_mode: int = 1):
         """Jitted lane renderer with lanes sharded over the mesh.
 

@@ -78,3 +78,36 @@ def test_mesh_sizes(small_scene):
                jnp.uint32(1)).radiance))
     np.testing.assert_allclose(outs[0], outs[2], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(outs[1], outs[2], rtol=1e-4, atol=1e-5)
+
+
+def test_queued_tracer_under_mesh(small_scene):
+    """The queued-regeneration tracer (the occupancy fix) now runs
+    under the device mesh via shard_map (parallel/mesh.py
+    make_queued_fn): an 8-device driver render must match the
+    single-device driver render — per-lane values are pure functions
+    of (seed, pixel, sample), so only XLA fusion differences remain.
+
+    This is the wavefront path every multi-chip large-scene render
+    takes (driver/render.py no longer falls back to the per-sample
+    wavefront when a mesh is present)."""
+    from rgk_tpu.driver.render import RenderDriver
+
+    cfg, arrays, meta, cam = small_scene
+    s = cfg.settings
+    assert int(s.reverse) == 0  # queued path active
+
+    d1 = RenderDriver(s, arrays, meta, cam, chunk_lanes=1 << 10)
+    assert d1._queued
+    d1.render_round(0)
+    d1.fetch_accumulation()
+
+    mesh = MeshContext(8)
+    d8 = RenderDriver(s, arrays, meta, cam, chunk_lanes=1 << 10,
+                      mesh=mesh)
+    assert d8._queued  # no wavefront fallback under mesh
+    d8.render_round(0)
+    d8.fetch_accumulation()
+
+    np.testing.assert_allclose(d1.acc.sum, d8.acc.sum,
+                               rtol=1e-4, atol=1e-5)
+    assert d1.stats.rays == d8.stats.rays
