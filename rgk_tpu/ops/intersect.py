@@ -134,6 +134,17 @@ def intersect_bvh(scene, ro, rd, t_min, t_max, exclude=None,
     memory, so live state is 2 int32 + the hit record per lane
     regardless of tree depth.
     """
+    # Traversal is non-differentiable by design (SURVEY §7.6: fixed
+    # hit geometry, stop-gradient through Hit): detach the ray inputs
+    # so reverse-mode AD treats the while_loop as a constant instead
+    # of failing on its dynamic trip count.  Hit geometry depends
+    # only on scene GEOMETRY, never on the trainable material/light/
+    # texture parameters, so FD gradients still match.
+    ro = jax.lax.stop_gradient(ro)
+    rd = jax.lax.stop_gradient(rd)
+    t_min = jax.lax.stop_gradient(t_min)
+    t_max = jax.lax.stop_gradient(t_max)
+
     node_min = scene.bvh.node_min
     node_max = scene.bvh.node_max
     node_meta = scene.bvh.node_meta

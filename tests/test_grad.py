@@ -286,3 +286,66 @@ def test_optimization_step_reduces_loss(grad_setup):
     params2 = jax.tree_util.tree_map(lambda p, gg: p - lr * gg, params, g)
     l1 = float(loss_fn(params2))
     assert l1 < float(l0)
+
+
+@pytest.fixture(scope="module")
+def mesh_bvh_setup(tmp_path_factory):
+    """FD gradients with hits coming from TREE TRAVERSAL: a mesh
+    scene (the reference's meshes/sphere.obj, 1280 faces) committed
+    with build_bvh=True and a tiny bvh_threshold so intersect_bvh —
+    not the GEMM sweep — produces every hit.  Proves the designed
+    stop-gradient through Hit (integrator/path.py) end-to-end
+    (BASELINE "pixel-grad allclose" on a mesh config)."""
+    import os
+
+    mesh = "/root/reference/scenes/meshes/sphere.obj"
+    if not os.path.exists(mesh):
+        pytest.skip("reference sphere.obj not available")
+    cfg_d = {
+        "output-file": "t.exr", "output-width": 8, "output-height": 8,
+        "multisample": 4, "recursion-max": 2, "russian": -1.0,
+        "camera": {"position": [0, 1.0, 2.5], "lookat": [0, 0.3, 0],
+                   "fov": 50},
+        "sky": {"color": [0.2, 0.25, 0.3], "intensity": 1.0},
+        "materials": [
+            {"name": "floor", "brdf": "diffuse",
+             "diffuse": [0.5, 0.45, 0.4]},
+            {"name": "ball", "brdf": "diffuse",
+             "diffuse": [0.6, 0.3, 0.2]},
+        ],
+        "scene": [
+            {"primitive": "plane", "axis": "Y", "scale": [5, 1, 5],
+             "material": "floor"},
+            {"file": mesh, "material": "ball",
+             "translate": [0, 0.45, 0], "scale": [0.45, 0.45, 0.45]},
+        ],
+        "lights": [{"position": [1.5, 2.5, 1.5], "color": [1, 1, 0.9],
+                    "intensity": 3.0}],
+    }
+    p = tmp_path_factory.mktemp("gradmesh") / "scene.json"
+    p.write_text(json.dumps(cfg_d))
+    cfg = load_config(str(p))
+    arrays, meta, _ = build_scene(cfg, build_bvh=True, bvh_threshold=8)
+    assert meta.has_bvh  # hits must come from the tree
+    cam = cfg.get_camera()
+
+    n = 64
+    px = jnp.asarray(np.arange(n) % 8, jnp.int32)
+    py = jnp.asarray((np.arange(n) // 8) % 8, jnp.int32)
+    si = jnp.zeros((n,), jnp.uint32)
+    target = jnp.zeros((n, 3), jnp.float32)
+    loss_fn = make_loss_fn(arrays, meta, cfg.settings, cam, px, py, si,
+                           jnp.uint32(3), target)
+    params = extract_params(arrays)
+    return loss_fn, params
+
+
+def test_grad_mesh_bvh_albedo(mesh_bvh_setup):
+    loss_fn, params = mesh_bvh_setup
+    # the sphere's albedo (material 1, red channel)
+    _fd_check(loss_fn, params, "mat_diffuse", 3, 1e-3, 0.03)
+
+
+def test_grad_mesh_bvh_light(mesh_bvh_setup):
+    loss_fn, params = mesh_bvh_setup
+    _fd_check(loss_fn, params, "light_intensity", 0, 1e-3, 0.03)
