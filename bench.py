@@ -94,7 +94,14 @@ def parity_gate(arrays, meta, cfg) -> float:
     the spirit of comparing against the reference's own EXR output,
     reference src/texture.cpp:356-374).
 
-    Returns the correlation; raises AssertionError below 0.995."""
+    Gate (all must hold, see the assert below): 1%-trimmed
+    correlation > 0.998, full correlation > 0.98, mean relative
+    difference < 5%, and no single 8x8 pixel tile may hold more than
+    a quarter of the outlier (trimmed-away) pixels — so a localized
+    systematic defect cannot hide inside the trimmed 1%.
+
+    Returns the trimmed correlation; raises AssertionError on any
+    violated bound."""
     import copy
 
     import jax
@@ -134,9 +141,20 @@ def parity_gate(arrays, meta, cfg) -> float:
     keep = np.argsort(d)[:int(len(d) * 0.99)]
     corr_trim = float(np.corrcoef(a[keep], b[keep])[0, 1])
     rel = float(d.mean() / max(b.mean(), 1e-9))
-    assert corr_trim > 0.998 and corr > 0.98 and rel < 0.05, (
+    # Spatial-clustering bound on the trimmed outliers: stochastic
+    # tie flips scatter across the frame; a systematic traversal bug
+    # confined to one region concentrates there.
+    out_idx = np.argsort(d)[int(len(d) * 0.99):]
+    h, w, _ = img_tpu.shape
+    pix = np.unique(out_idx // 3)
+    tiles = (pix // w // 8) * ((w + 7) // 8) + (pix % w) // 8
+    max_tile = int(np.bincount(tiles).max()) if len(tiles) else 0
+    tile_cap = max(8, len(pix) // 4)
+    assert (corr_trim > 0.998 and corr > 0.98 and rel < 0.05
+            and max_tile <= tile_cap), (
         f"cluster-kernel image parity FAILED: corr={corr:.4f} "
-        f"trimmed={corr_trim:.4f} mean-rel-diff={rel:.4f}")
+        f"trimmed={corr_trim:.4f} mean-rel-diff={rel:.4f} "
+        f"max-outliers-per-8x8-tile={max_tile} (cap {tile_cap})")
     return corr_trim
 
 
@@ -185,7 +203,9 @@ def main() -> int:
         "colonnade_commit_s": round(commit_s, 2),
         # TPU-cluster-kernel vs host-CPU-BVH image correlation at
         # identical (seed, pixel, sample) — the pixel gate behind the
-        # throughput number (bench aborts below 0.995).
+        # throughput number (bench aborts unless trimmed corr > 0.998,
+        # full corr > 0.98, mean-rel-diff < 5%, outliers unclustered;
+        # see parity_gate).
         "colonnade_tpu_cpu_parity": round(parity, 4),
     }))
     return 0

@@ -232,7 +232,8 @@ def _backend() -> str:
     back to the process default."""
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev.platform
+        # jax_default_device accepts a Device or a platform string.
+        return dev if isinstance(dev, str) else dev.platform
     return jax.default_backend()
 
 

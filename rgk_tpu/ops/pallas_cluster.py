@@ -494,10 +494,12 @@ def _ray_sort_key(cl, ro, rd):
     wavefront analogue of the reference's center-out tile ordering
     (src/render_driver.cpp:30-46).
 
-    The direction bits matter for single-origin bundles — camera rays
-    and point-light shadow rays (ops/intersect.py visibility traces
-    FROM the light) — where the origin morton is constant and only
-    direction separates a tight cone from a whole hemisphere fan.
+    The direction bits matter mainly for camera-ray bundles, where
+    the origin morton is constant and only direction separates a
+    tight cone from a whole hemisphere fan.  (Shadow rays trace from
+    the shade point toward the light — ops/intersect.py visibility —
+    so their origin morton varies per lane and the octant/origin bits
+    dominate.)
     """
     lo = cl.node_min[0]
     inv = 31.0 / jnp.maximum(cl.node_max[0] - lo, 1e-9)

@@ -375,6 +375,18 @@ def material_from_json(node: Node, builder: SceneBuilder,
             if m not in builder.material_index:
                 raise ConfigError(
                     f'Material "{m}", used for mixing, was not (yet) defined')
+            # The reference's BxDFMix composes arbitrary BxDF pointers,
+            # including other mixes (reference src/bxdf/bxdf.cpp:
+            # 221-249); the TPU runtime expands exactly one mix level
+            # (ops/bxdf.py eval_bxdf/sample_bxdf), where a nested mix
+            # leaf would silently evaluate to zero.  Reject it loudly
+            # instead — no scene in the reference corpus nests mixes.
+            if builder.materials[builder.material_index[m]].bxdf \
+                    == BSDF_MIX:
+                raise ConfigError(
+                    f'Material "{m}" is itself a mix: nested mix '
+                    f'materials are not supported (mix leaves must be '
+                    f'non-mix BxDFs)')
         spec.mix_amt = node.req_float("amount")
     return spec
 

@@ -64,3 +64,43 @@ def test_cornell_box_scene_build(reference_scenes):
     tri = np.asarray(arrays.tri_vidx)
     ys = v[tri[lt]][..., 1]
     np.testing.assert_allclose(ys, 1.98, atol=1e-5)
+
+
+def _mix_cfg(nested: bool) -> dict:
+    mats = [
+        {"name": "a", "brdf": "diffuse", "diffuse": [0.5, 0.5, 0.5]},
+        {"name": "b", "brdf": "mirror"},
+        {"name": "m1", "brdf": "mix", "material1": "a", "material2": "b",
+         "amount": 0.5},
+    ]
+    if nested:
+        mats.append({"name": "m2", "brdf": "mix", "material1": "m1",
+                     "material2": "a", "amount": 0.25})
+    top = mats[-1]["name"]
+    return {
+        "output-file": "t.exr", "output-width": 8, "output-height": 8,
+        "camera": {"position": [0, 2, 0.001], "lookat": [0, 0, 0],
+                   "fov": 40},
+        "materials": mats,
+        "scene": [{"primitive": "plane", "axis": "Y", "material": top}],
+    }
+
+
+def test_nested_mix_rejected(tmp_path):
+    """The runtime expands exactly one mix level; a mix whose leaf is
+    itself a mix (legal for the reference's BxDFMix pointer
+    composition, reference src/bxdf/bxdf.cpp:221-249) must be rejected
+    at config load, not silently evaluate to zero."""
+    import json
+
+    from rgk_tpu.scene.config import build_scene
+
+    ok = tmp_path / "mix1.json"
+    ok.write_text(json.dumps(_mix_cfg(nested=False)))
+    _, meta, _ = build_scene(load_config(str(ok)), build_bvh=False)
+    assert meta.has_mix  # one-level mix builds
+
+    bad = tmp_path / "mix2.json"
+    bad.write_text(json.dumps(_mix_cfg(nested=True)))
+    with pytest.raises(ConfigError, match="nested mix"):
+        build_scene(load_config(str(bad)), build_bvh=False)
