@@ -3,41 +3,48 @@
 The re-design of the reference's per-ray kd-tree traversal (reference
 src/scene_intersect.cpp FindIntersectKd*) for a vector machine.  A
 per-lane tree walk needs per-lane gathers the TPU lacks; instead each
-*ray block* walks the small cluster tree once with a scalar cursor:
+*ray block* walks the small chunk tree once with a scalar cursor:
 
   while node < n_nodes:
       hit[lane] = slab(node AABB, lane interval)    # [S,128] VPU test
-      if leaf and any(hit):  DMA the cluster's 128 Badouel rows
-                             HBM -> VMEM, dense [128, 128] sweeps,
-                             merge per-lane closest hit
+      if leaf and any(hit):  DMA the chunk's Badouel rows HBM -> VMEM,
+                             dense [rows, 128] sweeps, merge per-lane
+                             closest hit
       node = any(hit) ? hit_link : miss_link
 
 Shared traversal trades some wasted sweeps on divergent blocks for
 zero gathers and a fully dense inner loop; per-lane best_t keeps
-pruning sound.  Design notes that set the performance shape:
+pruning sound.  Design notes that set the performance shape (v5
+measurements in tools/prof_block_sweep.py still apply):
 
-* Ray blocks are laid out [S, 128] (sublanes x lanes), NOT [1, BLK]:
-  a [1, 1024] f32 op occupies 8 vregs at 1/8 sublane occupancy, so the
-  per-node slab test ran at 1/8 VPU density in the v1 kernel.
-* Traversal is FRONT-TO-BACK per ray-direction octant: the scene
-  commit precomputes eight link tables (scene/clusters.py
-  build_octant_links) over the same canonical node ids, and each block
-  DMAs its majority octant's table HBM -> SMEM once.  Near clusters
-  sweep first, best_t drops early, and the slab test's
-  `tn <= min(best_t, tmax)` prunes the far subtrees the v1 kernel
-  swept (the reference's near-child-first ordering,
-  src/scene_intersect.cpp:300-321, recovered TPU-style).
-* The cluster tree's boxes/counts live in SMEM as scalars (uniform
-  across the block); the triangle pack stays in HBM and streams per
-  visited leaf as one lane-aligned [16, 128] coefficient-major tile.
+* Ray blocks are laid out [S, 128] (sublanes x lanes): full-width
+  slab tests amortize the ~250-cycle vector->scalar sync over the
+  whole block, while leaf sweeps are GATED PER 128-LANE SLICE by a
+  packed bit mask computed in that same single sync.
+* Traversal is FRONT-TO-BACK per ray-direction octant
+  (scene/clusters.build_octant_links); v6 pages ONE octant's link
+  table HBM -> SMEM per ray block (skipped while consecutive sorted
+  blocks share the octant) instead of keeping all eight resident.
+* v6 node tables are SMEM-compact (u16 fixed-point boxes at 12 B per
+  node, 1-bit leaf flags): the tree scales to CHUNK_CAP leaves
+  regardless of scene size, removing the round-4 2.1M-triangle
+  ceiling, and the finest chunk is 64 triangles — HALF a DMA tile —
+  so divergent blocks sweep half-tiles instead of whole clusters.
+  Sibling halves share one DMA via the pending-tile dedup.
+* v6 sweeps drop the `safe` parallel-ray plane (IEEE inf/NaN already
+  fail the interval compares), drop the glass mask (thin-glass and
+  padding fold into never-hit coefficients at build), and extract
+  only (t, triangle id) with two sublane reductions — barycentrics
+  are recomputed OUTSIDE the kernel from the winner's original
+  tri_pack row, which removes two more [rows,128] reductions from
+  the hot loop (each ~21 vreg-instructions).
 * Shadow rays (any_hit) use a reduced sweep with no winner
   extraction and exit the walk as soon as every lane is occluded.
 
 Rays ride the lane axis exactly like the flat kernel
 (ops/pallas_intersect.py); triangles ride sublanes in the sweep.
 See scene/clusters.py for the host-side structure and tile layout
-(row 12 = thin-glass never-block flag, row 13 = original triangle id
-bitcast to float).
+(row 13 = original triangle id bitcast to float).
 """
 
 from __future__ import annotations
@@ -51,38 +58,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import Hit
 
-_PARALLEL_EPS = 1e-9
 _BIG = 3.4e38
 # Measured on the 1M-tri colonnade (tools/prof_block_sweep.py): 256
 # balances leaf-sweep union redundancy (shrinks with block size)
-# against per-block fixed cost; 128 ties, 1024 loses ~20%.
+# against per-block fixed cost.
 DEFAULT_BLOCK = 256
-CLUSTER_SIZE = 128  # must match scene/clusters.CLUSTER_SIZE
 _LANES = 128
 
 
-def _sweep_slice(tilt, rays, tmin, tcap, excl, state):
-    """Dense Badouel sweep of one cluster against one [1,128] ray
-    slice, merged into that slice's running best state.
+def _sweep_rows(tilt, rays, tmin, tcap, excl, state, any_hit):
+    """Dense Badouel sweep of `tilt` [rows, 16] triangle-major
+    coefficients against one [1,128] ray slice, merged into that
+    slice's running best state (t, id).
 
-    tilt: [128, 16] triangle-major coefficients; rays: 6 x [1, 128];
-    tmin/tcap/excl: [1, 128]; state: 4 x [1, 128] (t, id, beta, gamma).
+    rays: 6 x [1, 128]; tmin/tcap/excl: [1, 128]; state: (t, id).
+    No `safe` plane: a parallel ray gives rddn == 0, t = +-inf or
+    NaN, and every interval compare is false (thin-glass/padding rows
+    are folded to d=1, n=0 at build => t = -inf, same rejection).
     """
     rox, roy, roz, rdx, rdy, rdz = rays
-    best_t, best_i, best_b, best_c = state
+    best_t, best_i = state
 
     def coef(j):
-        return tilt[:, j:j + 1]  # [128, 1]
+        return tilt[:, j:j + 1]  # [rows, 1]
 
     nx, ny, nz, d = coef(0), coef(1), coef(2), coef(3)
-    rddn = rdx * nx + rdy * ny + rdz * nz          # [128, 128]
+    rddn = rdx * nx + rdy * ny + rdz * nz          # [rows, 128]
     rodn = rox * nx + roy * ny + roz * nz + d
-    safe = jnp.abs(rddn) > _PARALLEL_EPS
-    t = -rodn / jnp.where(safe, rddn, 1.0)
+    t = -rodn / rddn
 
     # Shared hit point: p = ro + t*rd once, then one dot per
     # barycentric (the GEMM oracle's formulation, intersect._pack_test)
-    # — 6 fewer [128,128] planes than the expanded two-dot form.
+    # — bitwise-identical to the outside recompute in
+    # intersect_clusters, so reported barycentrics match the kernel's
+    # accept test exactly.
     px = rox + t * rdx
     py = roy + t * rdy
     pz = roz + t * rdz
@@ -91,104 +100,75 @@ def _sweep_slice(tilt, rays, tmin, tcap, excl, state):
     g0, gvx, gvy, gvz = coef(8), coef(9), coef(10), coef(11)
     gamma = g0 + px * gvx + py * gvy + pz * gvz
 
-    glass = coef(12) > 0.5
-    pid = pltpu.bitcast(tilt[:, 13:14], jnp.int32)  # [128, 1]
-    ok = (safe & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
-          & (t > tmin) & (t < tcap) & ~glass & (pid != excl))
+    pid = pltpu.bitcast(tilt[:, 13:14], jnp.int32)  # [rows, 1]
+    ok = ((beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
+          & (t > tmin) & (t < tcap) & (pid != excl))
 
     t_sel = jnp.where(ok, t, _BIG)
     tile_t = jnp.min(t_sel, axis=0, keepdims=True)       # [1, 128]
+    if any_hit:
+        # Witness only (reference FindIntersectKdAny semantics,
+        # src/scene_intersect.cpp:118-208): no winner extraction.
+        ts = jnp.minimum(best_t, tile_t)
+        return ts, jnp.where(ts < _BIG, 0, best_i)
     onehot = t_sel == tile_t
     pid_b = jnp.broadcast_to(pid, t.shape)
     tile_i = jnp.min(jnp.where(onehot, pid_b, jnp.int32(0x7FFFFFFF)),
                      axis=0, keepdims=True)
-    first = onehot & (pid_b == tile_i)
-    tile_b = jnp.sum(jnp.where(first, beta, 0.0), axis=0, keepdims=True)
-    tile_c = jnp.sum(jnp.where(first, gamma, 0.0), axis=0, keepdims=True)
-
     win = tile_t < best_t
     return (jnp.where(win, tile_t, best_t),
-            jnp.where(win, tile_i, best_i),
-            jnp.where(win, tile_b, best_b),
-            jnp.where(win, tile_c, best_c))
+            jnp.where(win, tile_i, best_i))
 
 
-def _sweep_slice_any(tilt, rays, tmin, tcap, excl, best_t):
-    """Any-hit sweep of one cluster against one [1,128] ray slice: a
-    witness min-t only, no winner extraction (the reference's
-    FindIntersectKdAny semantics, src/scene_intersect.cpp:118-208)."""
-    rox, roy, roz, rdx, rdy, rdz = rays
+def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
+                 tpc: int, half_leaf: bool):
+    """tpc: DMA tiles per chunk; half_leaf: chunks are 64-tri HALVES
+    of a shared DMA tile (chunk_halves == 1)."""
 
-    def coef(j):
-        return tilt[:, j:j + 1]
+    rows_dma = 16 * tpc
 
-    nx, ny, nz, d = coef(0), coef(1), coef(2), coef(3)
-    rddn = rdx * nx + rdy * ny + rdz * nz
-    rodn = rox * nx + roy * ny + roz * nz + d
-    safe = jnp.abs(rddn) > _PARALLEL_EPS
-    t = -rodn / jnp.where(safe, rddn, 1.0)
-
-    px = rox + t * rdx
-    py = roy + t * rdy
-    pz = roz + t * rdz
-    b0, bvx, bvy, bvz = coef(4), coef(5), coef(6), coef(7)
-    beta = b0 + px * bvx + py * bvy + pz * bvz
-    g0, gvx, gvy, gvz = coef(8), coef(9), coef(10), coef(11)
-    gamma = g0 + px * gvx + py * gvy + pz * gvz
-
-    glass = coef(12) > 0.5
-    pid = pltpu.bitcast(tilt[:, 13:14], jnp.int32)
-    ok = (safe & (beta >= 0.0) & (gamma >= 0.0) & (beta + gamma <= 1.0)
-          & (t > tmin) & (t < tcap) & ~glass & (pid != excl))
-    return jnp.minimum(best_t,
-                       jnp.min(jnp.where(ok, t, _BIG), axis=0,
-                               keepdims=True))
-
-
-def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
-    def kernel(nmin_hbm, nmax_hbm, count_hbm, oct_ref, links_hbm,
-               pack_hbm,
+    def kernel(boxes_hbm, bits_hbm, links_hbm, oct_ref, lo_ref,
+               step_ref, pack_hbm,
                rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                tmin_ref, tmax_ref, excl_ref,
-               t_ref, idx_ref, bb_ref, bc_ref,
+               t_ref, idx_ref,
                *rest):
         if stats:
             nodes_ref, leaves_ref = rest[0], rest[1]
             rest = rest[2:]
-        (tile_ref, sem_ref, nmin_ref, nmax_ref, count_ref, links_ref,
-         tab_sem, st_t_ref, st_i_ref, st_b_ref, st_c_ref,
-         occ_ref) = rest
-        n_nodes = count_ref.shape[0]
+        (tile_ref, sem_ref, boxes_ref, bits_ref, links_ref,
+         tab_sem, prev_ref, st_t_ref, st_i_ref, occ_ref) = rest
 
-        # The cluster-tree tables (~750 KB at 1M tris) live in HBM and
-        # are DMA'd into PERSISTENT SMEM scratch once, on grid step 0.
-        # Passing them as SMEM inputs instead re-copies them on EVERY
-        # grid step — a measured ~36 us/block tax that dominated small
-        # ray blocks (70% of block time at block=128) and capped the
-        # work-efficiency win of narrow blocks.
+        # The shared node tables (boxes + leaf bits) are DMA'd into
+        # PERSISTENT SMEM scratch once, on grid step 0.  (Passing them
+        # as SMEM inputs instead re-copies them on EVERY grid step — a
+        # measured ~36 us/block tax in v4.)
         @pl.when(pl.program_id(0) == 0)
         def _load_tables():
-            for i, (src, dst) in enumerate((
-                    (nmin_hbm, nmin_ref), (nmax_hbm, nmax_ref),
-                    (count_hbm, count_ref), (links_hbm, links_ref))):
-                pltpu.make_async_copy(src, dst, tab_sem.at[i]).start()
-            for i, (src, dst) in enumerate((
-                    (nmin_hbm, nmin_ref), (nmax_hbm, nmax_ref),
-                    (count_hbm, count_ref), (links_hbm, links_ref))):
-                pltpu.make_async_copy(src, dst, tab_sem.at[i]).wait()
+            c0 = pltpu.make_async_copy(boxes_hbm, boxes_ref,
+                                       tab_sem.at[0])
+            c1 = pltpu.make_async_copy(bits_hbm, bits_ref,
+                                       tab_sem.at[1])
+            c0.start()
+            c1.start()
+            c0.wait()
+            c1.wait()
+            prev_ref[0] = -1
 
-        # ---- v5 design: ONE shared cursor per block walks the tree
-        # with full-width [S,128] slab tests (each vector->scalar
-        # `any` sync costs ~250 cycles and Mosaic cannot overlap them,
-        # so the sync must be amortized over the whole block), but
-        # leaf sweeps are GATED PER 128-LANE SLICE: the leaf's slab
-        # test is reduced to an S-bit mask in the same single sync
-        # (sum of per-sublane any x 2^s), and only slices with a
-        # hitting lane pay the [128,128] Badouel sweep.  This combines
-        # the wide block's cheap traversal with the narrow block's
-        # sweep work-efficiency (measured 4x fewer tri-tests/ray,
-        # tools/prof_block_sweep.py).
-        link_base = oct_ref[pl.program_id(0)] * n_nodes
+        # Per-octant link paging: one octant's table is SMEM-resident
+        # at a time; the coherence sort gives long same-octant runs of
+        # blocks, so the ~Nsub*512B copy amortizes to ~8 per pass.
+        oct = oct_ref[pl.program_id(0)]
+        ns_links = links_ref.shape[0]
+
+        @pl.when(oct != prev_ref[0])
+        def _page_links():
+            cp = pltpu.make_async_copy(
+                links_hbm.at[pl.ds(oct * ns_links, ns_links), :],
+                links_ref, tab_sem.at[2])
+            cp.start()
+            cp.wait()
+            prev_ref[0] = oct
 
         def grid2(ref):
             return ref[0]                 # [S, 128]
@@ -203,7 +183,18 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
             tiny = jnp.where(c >= 0.0, 1e-20, -1e-20)
             return 1.0 / jnp.where(jnp.abs(c) > 1e-20, c, tiny)
 
-        invx, invy, invz = inv(rdx2), inv(rdy2), inv(rdz2)
+        # Quantized-frame slab terms: box planes are u16 grid coords
+        # q, world t = (q*step + lo - ro) * inv = (q - ro') * inv'
+        # with ro' = (ro - lo)/step and inv' = step * inv, both
+        # precomputed per block.  t values stay in WORLD units.
+        lox, loy, loz = lo_ref[0], lo_ref[1], lo_ref[2]
+        stx, sty, stz = step_ref[0], step_ref[1], step_ref[2]
+        rqx = (rox2 - lox) / stx
+        rqy = (roy2 - loy) / sty
+        rqz = (roz2 - loz) / stz
+        ivx = stx * inv(rdx2)
+        ivy = sty * inv(rdy2)
+        ivz = stz * inv(rdz2)
 
         def sl(a, j):
             return a[j:j + 1, :]          # slice j's [1, 128] row
@@ -228,50 +219,67 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
         # side-effect `pl.when`.
         st_t_ref[...] = jnp.full((n_sub, _LANES), _BIG, jnp.float32)
         st_i_ref[...] = jnp.full((n_sub, _LANES), -1, jnp.int32)
-        st_b_ref[...] = jnp.zeros((n_sub, _LANES), jnp.float32)
-        st_c_ref[...] = jnp.zeros((n_sub, _LANES), jnp.float32)
         for j in range(n_sub):
             occ_ref[j] = 1  # any_hit: 1 = unoccluded lanes remain
 
-        def dma_for(cid, slot):
+        def dma_for(tile, slot):
             return pltpu.make_async_copy(
-                pack_hbm.at[pl.ds(cid * 16, 16), :],
+                pack_hbm.at[pl.ds(tile * rows_dma, rows_dma), :],
                 tile_ref.at[slot], sem_ref.at[slot])
 
-        def sweep_tile(j, tilt):
-            """Sweep a transposed tile against slice j, merging into
-            scratch."""
+        def sweep_rows(j, tilt):
             b = bun[j]
             row = slice(j, j + 1)
             bt = st_t_ref[row, :]
             bi = st_i_ref[row, :]
             tc = jnp.minimum(bt, b["tmax"])
+            ts, is_ = _sweep_rows(tilt, b["rays"], b["tmin"], tc,
+                                  b["excl"], (bt, bi), any_hit)
+            st_t_ref[row, :] = ts
+            st_i_ref[row, :] = is_
             if any_hit:
-                ts = _sweep_slice_any(tilt, b["rays"], b["tmin"], tc,
-                                      b["excl"], bt)
-                ni = jnp.where(ts < _BIG, 0, bi)
-                st_t_ref[row, :] = ts
-                st_i_ref[row, :] = ni
                 # Termination flag: 0 once every lane is occluded.
-                occ_ref[j] = jnp.any(ni < 0).astype(jnp.int32)
+                occ_ref[j] = jnp.any(is_ < 0).astype(jnp.int32)
+
+        def flush_sweep(pbits, slot):
+            """Sweep the pending chunk's hitting (slice[, half])s.
+            ONE [16,128]->[128,16] transpose per DMA tile, shared by
+            all its gated sweeps."""
+            if half_leaf:
+                tilt = tile_ref[slot][...].T            # [128, 16]
+                for hf in range(2):
+                    rows = tilt[hf * 64:(hf + 1) * 64, :]
+                    for j in range(n_sub):
+                        @pl.when((pbits >> (hf * n_sub + j)) % 2 == 1)
+                        def _sw(j=j, rows=rows):
+                            sweep_rows(j, rows)
             else:
-                ts, is_, bs, cs = _sweep_slice(
-                    tilt, b["rays"], b["tmin"], tc, b["excl"],
-                    (bt, bi, st_b_ref[row, :], st_c_ref[row, :]))
-                st_t_ref[row, :] = ts
-                st_i_ref[row, :] = is_
-                st_b_ref[row, :] = bs
-                st_c_ref[row, :] = cs
+                loaded = tile_ref[slot][...]            # [16*tpc, 128]
+                for ti in range(tpc):
+                    tilt = loaded[ti * 16:(ti + 1) * 16, :].T
+                    for j in range(n_sub):
+                        @pl.when((pbits >> j) % 2 == 1)
+                        def _sw(j=j, tilt=tilt):
+                            sweep_rows(j, tilt)
+
+        def unpack_hi(w):
+            return ((w >> 16) & 0xFFFF).astype(jnp.float32)
+
+        def unpack_lo(w):
+            return (w & 0xFFFF).astype(jnp.float32)
 
         def slab_bits(n, tcap, occ):
             """Full-width slab test of node n -> packed per-slice hit
             mask (bit j = some lane of slice j hits), ONE sync."""
-            t0x = (nmin_ref[n * 3] - rox2) * invx
-            t1x = (nmax_ref[n * 3] - rox2) * invx
-            t0y = (nmin_ref[n * 3 + 1] - roy2) * invy
-            t1y = (nmax_ref[n * 3 + 1] - roy2) * invy
-            t0z = (nmin_ref[n * 3 + 2] - roz2) * invz
-            t1z = (nmax_ref[n * 3 + 2] - roz2) * invz
+            w0 = boxes_ref[3 * n]
+            w1 = boxes_ref[3 * n + 1]
+            w2 = boxes_ref[3 * n + 2]
+            t0x = (unpack_hi(w0) - rqx) * ivx
+            t1x = (unpack_lo(w1) - rqx) * ivx
+            t0y = (unpack_lo(w0) - rqy) * ivy
+            t1y = (unpack_hi(w2) - rqy) * ivy
+            t0z = (unpack_hi(w1) - rqz) * ivz
+            t1z = (unpack_lo(w2) - rqz) * ivz
             tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                          jnp.minimum(t0y, t1y)),
                              jnp.minimum(t0z, t1z))
@@ -283,6 +291,12 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
                 hit = hit & ~occ
             any_s = jnp.any(hit, axis=1, keepdims=True)  # [S,1]
             return jnp.sum(jnp.where(any_s, pow2_col, 0))
+
+        def link_at(n):
+            return links_ref[n >> 7, n & 127]
+
+        def is_leaf(n):
+            return ((bits_ref[n >> 5] >> (n & 31)) & 1) > 0
 
         def cond(carry):
             node = carry[0]
@@ -297,8 +311,9 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
         def body(carry):
             """One outer step = march the shared cursor to the NEXT
             leaf any lane hits (inner loop, scalar carry only), then
-            handle the leaf: sweep the PENDING leaf's hitting slices,
-            start this leaf's DMA."""
+            handle the leaf: sweep the PENDING chunk's hitting slices,
+            start this chunk's DMA (or merge, when the new leaf is the
+            sibling half of the pending tile)."""
             node, pend, pbits, slot, steps_v, leaves_v = carry
             tcap = jnp.minimum(st_t_ref[...], tmax2)
             occ = (st_i_ref[...] >= 0) if any_hit else None
@@ -309,48 +324,53 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
 
             def inner_body(c):
                 n, _, _, steps = c
-                count = count_ref[n]
-                link = links_ref[link_base + n]
+                w = link_at(n)
                 bits = slab_bits(n, tcap, occ)
                 anyh = bits != 0
-                is_leaf = count > 0
-                stop = anyh & is_leaf
-                nxt = jnp.where(anyh & ~is_leaf, link >> 16,
-                                link & 0xFFFF)
+                leaf = is_leaf(n)
+                stop = anyh & leaf
+                nxt = jnp.where(anyh & ~leaf, (w >> 16) & 0xFFFF,
+                                w & 0xFFFF)
                 return (jnp.where(stop, n, nxt), stop, bits, steps + 1)
 
             leaf_node, stop, bits, steps = jax.lax.while_loop(
                 inner_cond, inner_body,
                 (node, jnp.bool_(False), jnp.int32(0), jnp.int32(0)))
-            llink = links_ref[link_base
-                              + jnp.minimum(leaf_node, n_nodes - 1)]
-            new_slot = jnp.where(stop & (pend >= 0), 1 - slot, slot)
+            lw = link_at(jnp.minimum(leaf_node, n_nodes - 1))
+            chunk = (lw >> 16) & 0xFFFF
+            missl = lw & 0xFFFF
+            if half_leaf:
+                tile = chunk >> 1
+                nb = bits << ((chunk & 1) * n_sub)
+                # Sibling halves share one DMA tile and are adjacent
+                # in every octant order: merge instead of re-fetching.
+                same = stop & (tile == pend) & (pbits != 0)
+            else:
+                tile = chunk
+                nb = bits
+                same = jnp.bool_(False)
+            flush = stop & ~same
+            new_slot = jnp.where(flush & (pbits != 0), 1 - slot, slot)
 
-            # Double-buffered leaf streaming: the found leaf's DMA
+            # Double-buffered chunk streaming: the found chunk's DMA
             # starts NOW, its sweep is deferred until the next leaf
             # (or walk end) so the fetch rides under the node marches.
             # The one-leaf lag only loosens tcap (best_t still only
             # shrinks), so pruning stays sound.
-            @pl.when(stop)
+            @pl.when(flush)
             def _handle_leaf():
                 # ONE semaphore wait for the pending tile (waits are
-                # consume-once), then per-slice gated sweeps.
+                # consume-once), then gated sweeps.
                 @pl.when(pbits != 0)
                 def _wait_pending():
                     dma_for(pend, slot).wait()
-                # ONE [16,128] transpose per LEAF, shared by all its
-                # gated slice sweeps (a per-sweep transpose was ~13%
-                # of kernel time).
-                tilt = tile_ref[slot].T
-                for j in range(n_sub):
-                    @pl.when((pbits >> j) % 2 == 1)
-                    def _sweep_pending(j=j):
-                        sweep_tile(j, tilt)
-                dma_for(llink >> 16, new_slot).start()
+                flush_sweep(pbits, slot)
+                dma_for(tile, new_slot).start()
 
-            return (jnp.where(stop, llink & 0xFFFF, leaf_node),
-                    jnp.where(stop, llink >> 16, pend),
-                    jnp.where(stop, bits, pbits),
+            return (jnp.where(stop, missl, leaf_node),
+                    jnp.where(stop, tile, pend),
+                    jnp.where(same, pbits | nb,
+                              jnp.where(stop, nb, pbits)),
                     new_slot,
                     steps_v + steps,
                     leaves_v + stop.astype(jnp.int32))
@@ -360,25 +380,14 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
         _, pend, pbits, slot, n_nodes_v, n_leaves_v = \
             jax.lax.while_loop(cond, body, init)
 
-        # Flush the pending leaf's hitting slices.
+        # Flush the pending chunk's hitting slices.
         @pl.when(pbits != 0)
-        def _wait_final():
+        def _flush_final():
             dma_for(pend, slot).wait()
-        tilt_f = tile_ref[slot].T
-        for j in range(n_sub):
-            @pl.when((pbits >> j) % 2 == 1)
-            def _flush(j=j):
-                sweep_tile(j, tilt_f)
+            flush_sweep(pbits, slot)
 
-        best_t = st_t_ref[...]
-        best_i = st_i_ref[...]
-        best_b = st_b_ref[...]
-        best_c = st_c_ref[...]
-        found = best_i >= 0
-        t_ref[0] = jnp.where(found, best_t, _BIG)
-        idx_ref[0] = best_i
-        bb_ref[0] = best_b
-        bc_ref[0] = best_c
+        t_ref[0] = st_t_ref[...]
+        idx_ref[0] = st_i_ref[...]
         if stats:
             nodes_ref[0] = jnp.full((n_sub, _LANES), n_nodes_v,
                                     jnp.int32)
@@ -389,12 +398,17 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int):
 
 
 @partial(jax.jit,
-         static_argnames=("any_hit", "block", "interpret", "stats"))
-def _run(nmin, nmax, meta, links, pack, rox, roy, roz, rdx, rdy, rdz,
-         t_min, t_max, exclude, any_hit, block, interpret, stats=False):
+         static_argnames=("chunk_halves", "any_hit", "block",
+                          "interpret", "stats"))
+def _run(boxes_q, leaf_bits, links, pack, scene_lo, scene_step,
+         rox, roy, roz, rdx, rdy, rdz, t_min, t_max, exclude,
+         chunk_halves, any_hit, block, interpret, stats=False):
     R = rox.shape[0]
     n_sub = block // _LANES
     grid = (R // block,)
+    n_nodes = int(boxes_q.shape[0]) // 3
+    tpc = max(1, chunk_halves // 2)
+    half_leaf = chunk_halves == 1
 
     # Majority ray-direction octant per block selects the
     # front-to-back link table (bit a set = negative along axis a).
@@ -409,23 +423,22 @@ def _run(nmin, nmax, meta, links, pack, rox, roy, roz, rdx, rdy, rdz,
 
     lane_spec = pl.BlockSpec((1, n_sub, _LANES), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    # Cluster-tree boxes/counts/links are HBM inputs; the kernel DMAs
-    # them into persistent SMEM *scratch* on grid step 0 (see
-    # _make_kernel) and reads them as scalars (one node per tree step,
-    # uniform over the block).  Arrays are FLATTENED to 1-D — SMEM is
-    # untiled scalar memory, but a 2-D [NN,3] shape still gets the
-    # (8,128) tiled layout, padding each 3-wide row to 512 B (~42x,
-    # OOM at 1M tris).  SMEM budget at 1M tris (N=15593): boxes 374 KB
-    # + counts 62 KB + packed links 8N*4 = 499 KB ≈ 940 KB.
-    smem = pl.BlockSpec(memory_space=pl.ANY)
-    n_nodes = int(meta.shape[0])
+    # Node tables are HBM inputs; the kernel DMAs boxes + leaf bits
+    # into persistent SMEM *scratch* on grid step 0 and pages one
+    # octant's links per block (see _make_kernel).  All 1-D tables
+    # are FLAT — SMEM is untiled scalar memory, but a 2-D [NN,3]
+    # shape still gets the (8,128) tiled layout, padding each 3-wide
+    # row to 512 B.  SMEM budget at CHUNK_CAP=20000 leaves
+    # (N=39999): boxes 12B*N = 480 KB + links page 4B*N = 160 KB +
+    # leaf bits 5 KB = ~645 KB, inside the measured ~1 MB v5e
+    # ceiling (tools/prof_smem_probe.py).
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    n_sub_links = links.shape[0] // 8
     out_shape = [
         jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.float32),
         jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.int32),
-        jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((grid[0], n_sub, _LANES), jnp.float32),
     ]
-    out_specs = [lane_spec] * 4
+    out_specs = [lane_spec] * 2
     if stats:
         # Per-block traversal counters (visited nodes, swept leaves),
         # broadcast across the block's lanes.
@@ -433,38 +446,37 @@ def _run(nmin, nmax, meta, links, pack, rox, roy, roz, rdx, rdy, rdz,
             (grid[0], n_sub, _LANES), jnp.int32)] * 2
         out_specs += [lane_spec] * 2
     outs = pl.pallas_call(
-        _make_kernel(any_hit, stats, n_sub),
+        _make_kernel(any_hit, stats, n_sub, n_nodes, tpc, half_leaf),
         grid=grid,
-        in_specs=[smem, smem, smem,
+        in_specs=[hbm, hbm, hbm,
                   # per-block majority octants: small [n_blocks] i32,
                   # whole-array SMEM (rank-1 SMEM blocks must be whole
                   # or 128-multiples on Mosaic)
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  smem,
-                  pl.BlockSpec(memory_space=pl.ANY)]   # pack in HBM
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  hbm]                                 # pack in HBM
         + [lane_spec] * 9,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CLUSTER_SIZE), jnp.float32),
+            pltpu.VMEM((2, 16 * tpc, _LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((n_nodes * 3,), jnp.float32),   # node_min
-            pltpu.SMEM((n_nodes * 3,), jnp.float32),   # node_max
-            pltpu.SMEM((n_nodes,), jnp.int32),         # counts
-            pltpu.SMEM((8 * n_nodes,), jnp.int32),     # octant links
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SMEM((n_nodes * 3,), jnp.int32),     # quantized boxes
+            pltpu.SMEM((leaf_bits.shape[0],), jnp.int32),
+            pltpu.SMEM((n_sub_links, _LANES), jnp.int32),  # octant page
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((1,), jnp.int32),               # resident octant
             pltpu.VMEM((n_sub, _LANES), jnp.float32),  # best t
             pltpu.VMEM((n_sub, _LANES), jnp.int32),    # best tri
-            pltpu.VMEM((n_sub, _LANES), jnp.float32),  # best beta
-            pltpu.VMEM((n_sub, _LANES), jnp.float32),  # best gamma
             pltpu.SMEM((n_sub,), jnp.int32),           # any_hit flags
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),  # sequential grid:
-        # step 0 loads the SMEM tables every later step reads
+        # step 0 loads the SMEM tables every later step reads, and
+        # the octant page persists across same-octant runs
         interpret=interpret,
-    )(nmin.reshape(-1), nmax.reshape(-1),
-      meta[:, 1] + 0, oct, links.reshape(-1),
+    )(boxes_q, leaf_bits, links, oct, scene_lo, scene_step,
       pack, shape3(rox), shape3(roy), shape3(roz), shape3(rdx),
       shape3(rdy), shape3(rdz), shape3(t_min), shape3(t_max),
       shape3(exclude))
@@ -490,7 +502,7 @@ def _ray_sort_key(cl, ro, rd):
     """Coherence key: direction octant (top 3 bits), then a 5-bit/axis
     morton code of the origin inside the scene box, then a 4-bit/axis
     morton code of the direction.  Rays sharing a block then share a
-    front-to-back order and a small cluster working set — the
+    front-to-back order and a small chunk working set — the
     wavefront analogue of the reference's center-out tile ordering
     (src/render_driver.cpp:30-46).
 
@@ -501,8 +513,9 @@ def _ray_sort_key(cl, ro, rd):
     so their origin morton varies per lane and the octant/origin bits
     dominate.)
     """
-    lo = cl.node_min[0]
-    inv = 31.0 / jnp.maximum(cl.node_max[0] - lo, 1e-9)
+    lo = cl.scene_lo
+    extent = cl.scene_step * 65535.0
+    inv = 31.0 / jnp.maximum(extent, 1e-9)
     qo = jnp.clip((ro - lo) * inv, 0.0, 31.0).astype(jnp.int32)
     qd = jnp.clip((rd + 1.0) * 7.5, 0.0, 15.0).astype(jnp.int32)
     octant = ((rd[:, 0] < 0).astype(jnp.int32)
@@ -517,7 +530,9 @@ def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
                        sort_rays: bool = True) -> Hit:
     """Drop-in intersector backed by the cluster kernel.
 
-    Requires `scene.clusters` (scene/clusters.build_clusters)."""
+    Requires `scene.clusters` (scene/clusters.build_clusters) and
+    t_min >= 0 (the reference's traversal contract as well —
+    src/scene_intersect.cpp always enters with mint >= 0)."""
     cl = scene.clusters
     R = ro.shape[0]
     assert block % _LANES == 0, "block must be a multiple of 128 lanes"
@@ -529,23 +544,24 @@ def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
     if exclude is None:
         exclude = jnp.full((R,), -1, jnp.int32)
 
-    # Sort lanes by coherence key so blocks see small cluster unions;
+    # Sort lanes by coherence key so blocks see small chunk unions;
     # per-lane results are order-independent, so this only affects
     # speed.  XLA's TPU sort/gather make this ~0.4 ms per 1M rays.
     # Lanes with an empty interval (masked-off visibility rays, dead
     # wavefront lanes) sort to the end, packing into blocks that fail
     # the root slab immediately and cost nothing.
     inv_perm = None
+    ro_s, rd_s = ro, rd
     if sort_rays and R > block:
         key = jnp.where(t_max <= t_min, jnp.int32(0x7FFFFFFF),
                         _ray_sort_key(cl, ro, rd))
         perm = jnp.argsort(key)
         inv_perm = jnp.argsort(perm)
-        ro, rd = ro[perm], rd[perm]
+        ro_s, rd_s = ro[perm], rd[perm]
         t_min, t_max, exclude = t_min[perm], t_max[perm], exclude[perm]
 
-    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
-    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    rox, roy, roz = ro_s[:, 0], ro_s[:, 1], ro_s[:, 2]
+    rdx, rdy, rdz = rd_s[:, 0], rd_s[:, 1], rd_s[:, 2]
     if pad:
         zf = lambda a: jnp.pad(a, (0, pad))
         rox, roy, roz = zf(rox), zf(roy), zf(roz)
@@ -555,14 +571,29 @@ def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
         t_max = jnp.pad(t_max, (0, pad), constant_values=-_BIG)
         exclude = zf(exclude)
 
-    t, idx, bb, bc = _run(cl.node_min, cl.node_max, cl.node_meta,
-                          cl.octant_links, cl.pack,
-                          rox, roy, roz, rdx, rdy, rdz,
-                          t_min, t_max, exclude, any_hit, block,
-                          interpret)
+    t, idx = _run(cl.boxes_q, cl.leaf_bits, cl.links, cl.pack,
+                  cl.scene_lo, cl.scene_step,
+                  rox, roy, roz, rdx, rdy, rdz,
+                  t_min, t_max, exclude,
+                  cl.half_meta.shape[0], any_hit, block, interpret)
     if pad:
-        t, idx, bb, bc = t[:R], idx[:R], bb[:R], bc[:R]
+        t, idx = t[:R], idx[:R]
     if inv_perm is not None:
-        t, idx, bb, bc = (t[inv_perm], idx[inv_perm], bb[inv_perm],
-                          bc[inv_perm])
-    return Hit(t=t, tri=idx, bary_b=bb, bary_c=bc)
+        t, idx = t[inv_perm], idx[inv_perm]
+
+    found = idx >= 0
+    if any_hit:
+        return Hit(t=t, tri=idx, bary_b=jnp.zeros_like(t),
+                   bary_c=jnp.zeros_like(t))
+    # Barycentrics are recomputed OUTSIDE the kernel from the winner's
+    # original tri_pack row — one [R,12] gather + a few flops replaces
+    # two [rows,128] reductions per sweep in the hot loop.  Same
+    # formula and operand order as the kernel's accept test
+    # (hit point form), so the values are bitwise consistent.
+    rows = scene.tri_pack[jnp.clip(idx, 0, scene.tri_pack.shape[0] - 1)]
+    p = ro + t[:, None] * rd
+    beta = rows[:, 4] + jnp.sum(p * rows[:, 5:8], axis=-1)
+    gamma = rows[:, 8] + jnp.sum(p * rows[:, 9:12], axis=-1)
+    return Hit(t=t, tri=idx,
+               bary_b=jnp.where(found, beta, 0.0),
+               bary_c=jnp.where(found, gamma, 0.0))

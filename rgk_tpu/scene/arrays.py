@@ -109,16 +109,25 @@ class BVHArrays(NamedTuple):
 
 
 class ClusterArrays(NamedTuple):
-    """Two-level cluster structure (scene/clusters.py): a VMEM-sized
-    skip-link tree over fixed-size triangle clusters whose Badouel
-    rows stream from HBM per visited leaf (ops/pallas_cluster.py)."""
-    node_min: jnp.ndarray   # f32 [NC,3]
-    node_max: jnp.ndarray   # f32 [NC,3]
-    node_meta: jnp.ndarray  # int32 [NC,3] = (cluster|left, count, skip)
-    pack: jnp.ndarray       # f32 [K*16, 128] coefficient-major cluster tiles
-    # int32 [8, NC] per-direction-octant front-to-back links, packed
-    # (hit << 16) | miss — clusters.build_octant_links
-    octant_links: jnp.ndarray
+    """Two-level chunk structure (scene/clusters.py): an SMEM-sized
+    skip-link tree over auto-sized triangle chunks whose Badouel
+    rows stream from HBM per visited leaf (ops/pallas_cluster.py).
+
+    v6 encoding: u16 fixed-point node boxes (3 words/node), packed
+    leaf-flag bits, per-octant link tables paged into SMEM one octant
+    at a time.  The chunk size (in 64-triangle halves) is carried as
+    the SHAPE of `half_meta` — a static fact under jit."""
+    boxes_q: jnp.ndarray    # i32 [3*NC] quantized node AABBs
+    leaf_bits: jnp.ndarray  # i32 [ceil(NC/32)] leaf flags, 32/word
+    # i32 [8*ns, 128] (ns = ceil(NC/128) rounded up to 8) — the eight
+    # per-direction-octant front-to-back link tables stacked along
+    # rows, packed (hit << 16) | miss (unsigned 16-bit fields) —
+    # clusters.build_octant_links
+    links: jnp.ndarray
+    pack: jnp.ndarray       # f32 [T*16, 128] coefficient-major tiles
+    scene_lo: jnp.ndarray   # f32 [3] quantization frame origin
+    scene_step: jnp.ndarray  # f32 [3] quantization step per axis
+    half_meta: jnp.ndarray  # i32 [chunk_halves] (shape carries the size)
 
 
 class SceneArrays(NamedTuple):

@@ -82,5 +82,8 @@ def test_make_bigscene_builds_and_commits(tmp_path):
     # The cluster structure the TPU kernel consumes is present and
     # self-consistent (octant link tables cover every node).
     import numpy as np
-    n_nodes = np.asarray(arrays.clusters.node_meta).shape[0]
-    assert np.asarray(arrays.clusters.octant_links).shape == (8, n_nodes)
+    n_nodes = np.asarray(arrays.clusters.boxes_q).shape[0] // 3
+    ns = -(-(-(-n_nodes // 128)) // 8) * 8
+    assert np.asarray(arrays.clusters.links).shape == (8 * ns, 128)
+    assert np.asarray(arrays.clusters.leaf_bits).shape == \
+        (-(-n_nodes // 32),)

@@ -49,13 +49,20 @@ def main() -> int:
     verts, tris = meshes[0].positions, meshes[0].faces
     pack = build_tri_pack(verts, tris)
     cl = build_clusters(verts, tris, pack)
-    n_leaves = int((np.asarray(cl.node_meta)[:, 1] > 0).sum())
-    print(f"{n} tris, {cl.node_meta.shape[0]} nodes ({n_leaves} leaves)")
+    n_nodes = np.asarray(cl.boxes_q).shape[0] // 3
+    n_leaves = int(np.unpackbits(
+        np.asarray(cl.leaf_bits).view(np.uint8)).sum())
+    ch = cl.half_meta.shape[0]
+    print(f"{n} tris, {n_nodes} nodes ({n_leaves} leaves, "
+          f"chunk={ch * 64} tris)")
+
+    import jax.numpy as _jnp
 
     class S:
         pass
     scene = S()
     scene.clusters = cl
+    scene.tri_pack = _jnp.asarray(pack)
 
     R = args.rays
     rng = np.random.default_rng(0)
@@ -103,18 +110,19 @@ def main() -> int:
                 r = jax.block_until_ready(fn(ro_j, rd_j))
             dt = (time.time() - t0) / args.reps
             # stats pass (interpretless, stats=True)
-            out = pc._run(cl.node_min, cl.node_max, cl.node_meta,
-                          cl.octant_links, cl.pack,
+            out = pc._run(cl.boxes_q, cl.leaf_bits, cl.links, cl.pack,
+                          cl.scene_lo, cl.scene_step,
                           jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]),
                           jnp.asarray(ro[:, 2]), jnp.asarray(rd[:, 0]),
                           jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
-                          tmin, tmax, excl, False, B, False, stats=True)
-            nodes = np.asarray(out[4]).reshape(-1, B)[:, 0]
-            leaves = np.asarray(out[5]).reshape(-1, B)[:, 0]
+                          tmin, tmax, excl, ch, False, B, False,
+                          stats=True)
+            nodes = np.asarray(out[2]).reshape(-1, B)[:, 0]
+            leaves = np.asarray(out[3]).reshape(-1, B)[:, 0]
             print(f"B={B:5d} {name:10s}: {R/dt/1e6:7.2f} Mrays/s | "
                   f"nodes/blk {nodes.mean():6.0f} | leaves/blk "
                   f"{leaves.mean():6.1f} | leaf-sweep tri-tests/ray "
-                  f"{leaves.mean()*128*B/B:8.0f}")
+                  f"{leaves.mean()*ch*64*B/B:8.0f}")
     return 0
 
 

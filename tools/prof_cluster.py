@@ -75,7 +75,7 @@ def main() -> int:
         pass
     scene = S()
     scene.clusters = build_clusters(verts, tris, pack)
-    print(f"{n} tris, {scene.clusters.node_meta.shape[0]} cluster nodes, "
+    print(f"{n} tris, {scene.clusters.boxes_q.shape[0] // 3} cluster nodes, "
           f"build {time.time()-t0:.2f}s")
 
     R = args.rays

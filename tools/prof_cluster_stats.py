@@ -44,8 +44,9 @@ def main() -> int:
     verts, tris = meshes[0].positions, meshes[0].faces
     pack = build_tri_pack(verts, tris)
     cl = build_clusters(verts, tris, pack)
-    n_nodes = cl.node_meta.shape[0]
-    n_leaves = int((np.asarray(cl.node_meta)[:, 1] > 0).sum())
+    n_nodes = cl.boxes_q.shape[0] // 3
+    n_leaves = int(np.unpackbits(
+        np.asarray(cl.leaf_bits).view(np.uint8)).sum())
     print(f"{n} tris, {n_nodes} nodes ({n_leaves} leaves)")
 
     R = args.rays
@@ -73,14 +74,15 @@ def main() -> int:
     for name, ro, rd in (("coherent", ro_a, rd_a),
                          ("random", ro_b, rd_b),
                          ("sorted", ro_c, rd_c)):
-        out = pc._run(cl.node_min, cl.node_max, cl.node_meta,
-                      cl.octant_links, cl.pack,
+        out = pc._run(cl.boxes_q, cl.leaf_bits, cl.links, cl.pack,
+                      cl.scene_lo, cl.scene_step,
                       jnp.asarray(ro[:, 0]), jnp.asarray(ro[:, 1]),
                       jnp.asarray(ro[:, 2]), jnp.asarray(rd[:, 0]),
                       jnp.asarray(rd[:, 1]), jnp.asarray(rd[:, 2]),
-                      tmin, tmax, excl, False, B, False, stats=True)
-        nodes = np.asarray(out[4]).reshape(-1, B)[:, 0]
-        leaves = np.asarray(out[5]).reshape(-1, B)[:, 0]
+                      tmin, tmax, excl, cl.half_meta.shape[0], False, B,
+                      False, stats=True)
+        nodes = np.asarray(out[2]).reshape(-1, B)[:, 0]
+        leaves = np.asarray(out[3]).reshape(-1, B)[:, 0]
         print(f"{name:9s}: nodes/blk mean {nodes.mean():8.0f} "
               f"max {nodes.max():6d} | leaves/blk mean "
               f"{leaves.mean():7.0f} max {leaves.max():6d} "
