@@ -70,16 +70,18 @@ class RenderDriver:
         # instead of re-tracing the ones already in the accumulator.
         self.start_round = 0
 
-        # Pixel-block decomposition.  The queued tracer (one lane per
-        # pixel, samples traced back-to-back — integrator/path.py
-        # trace_wavefront_queued) is used whenever there is no BDPT
-        # splatting; it keeps lane occupancy near 100% where the
-        # per-sample wavefront pays max-depth sweeps on mostly-dead
-        # lanes.  Under a device mesh it runs inside shard_map
-        # (parallel/mesh.py make_queued_fn) with lanes sharded and
-        # the ray counter psum'd — so single-chip occupancy wins
-        # carry to multi-chip renders.  BDPT uses the per-(pixel,
-        # sample) wavefront (splat buffers need the full lane grid).
+        # Pixel-block decomposition.  Both tracers run one lane per
+        # pixel with samples traced back-to-back (queued in-place
+        # regeneration, integrator/path.py trace_wavefront_queued /
+        # trace_wavefront_queued_bdpt): lane occupancy stays near
+        # 100% where a per-sample wavefront pays max-depth sweeps on
+        # mostly-dead lanes.  BDPT blocks are ms-times smaller so the
+        # vectorized light-subpath phase and its per-(lane, sample)
+        # vertex store stay inside the lane budget.  Under a device
+        # mesh both run inside shard_map (parallel/mesh.py) with
+        # lanes sharded, the ray counter psum'd, and BDPT splat
+        # images reduced from device-local buffers — so single-chip
+        # occupancy wins carry to multi-chip renders.
         ms = max(1, int(settings.multisample))
         self.ms = ms
         self.n_procs = multihost.process_count()
@@ -113,9 +115,6 @@ class RenderDriver:
         lane_fn = None
         if mesh is not None:
             self.scene = mesh.shard_scene(scene)
-            if not self._queued:
-                lane_fn = mesh.make_render_fn(meta, settings,
-                                              sampler_mode)
         else:
             lane_fn = jax.jit(partial(
                 render_lanes, meta=self.meta, settings=self.settings,
@@ -130,7 +129,6 @@ class RenderDriver:
         # for 3 MB) — the reference's mutex-guarded host frame buffer
         # (render_driver.cpp:179-182) has no business on the PCIe bus.
         ms = self.ms
-        n_splat = int(settings.reverse) > 0
         hw = xres * yres
 
         if self._queued:
@@ -153,21 +151,30 @@ class RenderDriver:
                 acc = acc.at[pix_idx].add(rad)
                 return acc, rays_acc + rays.astype(jnp.float32)
         else:
+            # BDPT (reverse > 0): the queued bidirectional tracer —
+            # vectorized light subpaths + device-local splat image,
+            # queued-regeneration eye walk (integrator/path.py
+            # trace_wavefront_queued_bdpt).
+            from ..integrator.path import trace_wavefront_queued_bdpt
+
+            qbfn = (mesh.make_queued_bdpt_fn(meta, settings,
+                                             sampler_mode)
+                    if mesh is not None else None)
+
             def _round_block(acc, rays_acc, scene_arg, cam, px, py,
                              s_local, round_off, seed, pix_idx):
-                result = lane_fn(scene=scene_arg, cam=cam, px=px, py=py,
-                                 sample_idx=s_local + round_off, seed=seed)
-                pix_sum = result.radiance.reshape(ms, -1, 3).sum(axis=0)
-                acc = acc.at[pix_idx].add(pix_sum)
-                if n_splat:
-                    pix = result.splat_pix.reshape(-1)
-                    val = result.splat_val.reshape(-1, 3)
-                    good = pix >= 0
-                    idx = jax.lax.optimization_barrier(
-                        jnp.where(good, pix, hw))
-                    acc = acc.at[idx].add(
-                        jnp.where(good[..., None], val, 0.0))
-                return acc, rays_acc + result.rays.astype(jnp.float32)
+                del s_local
+                if qbfn is not None:
+                    rad, splat_img, rays = qbfn(scene_arg, cam, px, py,
+                                                round_off, seed)
+                else:
+                    rad, splat_img, rays = trace_wavefront_queued_bdpt(
+                        scene_arg, meta, settings, cam, px, py,
+                        round_off, ms, seed,
+                        sampler_mode=self.sampler_mode)
+                acc = acc.at[pix_idx].add(rad)
+                acc = acc + splat_img
+                return acc, rays_acc + rays.astype(jnp.float32)
 
         self._block_fn = jax.jit(_round_block, donate_argnums=(0, 1))
 
@@ -189,7 +196,7 @@ class RenderDriver:
         self._px_dev = []
         self._py_dev = []
         self._pix_idx_dev = []
-        tile = 1 if self._queued else ms  # queued: one lane per pixel
+        tile = 1  # both tracers run one lane per pixel
         for b in range(self._blk_lo, self._blk_hi):
             s, e = b * self.block, (b + 1) * self.block
             self._px_dev.append(jnp.asarray(np.tile(self._px[s:e], tile)))

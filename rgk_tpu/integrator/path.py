@@ -394,6 +394,325 @@ def trace_wavefront_queued(scene, meta, settings, cam, px, py,
     return final.radiance, final.rays
 
 
+def _trace_light_subpaths(scene, meta, settings, cam, ctx, tables,
+                          mat_pack, intersect, light, lightdir2,
+                          reverse: int, ray_count0):
+    """Trace one K-vertex light subpath per lane and project every
+    vertex to the camera (reference path_tracer.cpp:339-398).
+
+    Returns (lrec, splat_pix [R,K], splat_val [R,K,3], ray_count):
+    lrec is a dict of [K, R, ...] per-vertex arrays (valid, pos,
+    light_n, t_f, b_f, vr, uv, mat_id, light_here) consumed by the
+    eye walk's connection loop."""
+    from ..ops import warps
+
+    R = light.pos.shape[0]
+    emission_dir = warps.to_hemisphere_cosine_directed(
+        lightdir2, light.normal)
+    light_at_start = (light.color * light.intensity[..., None]
+                      * light.directional_factor(emission_dir)[..., None])
+    # Zeros DERIVED from the (sharded) light positions: under
+    # shard_map the scan carry must be device-varying from the start
+    # or the carry types mismatch after the first step; outside
+    # shard_map these adds fuse away.
+    vz_i = (light.pos[:, 0] * 0.0).astype(jnp.int32)
+    l_state = SubpathState(
+        ro=light.pos + scene.epsilon * 100.0 * light.normal,
+        rd=emission_dir,
+        last_tri=vz_i - 1,
+        contribution=(vz_i[:, None].astype(jnp.float32)
+                      + jnp.ones((1, 3), jnp.float32)),
+        alive=(vz_i == 0) & light.valid,
+        ray_count=ray_count0,
+    )
+
+    def light_bounce(state, k):
+        new_state, sp, p0, act, contrib, _sky = _extend_path(
+            scene, meta, settings, tables, mat_pack, ctx, state, k,
+            k + 1, -1.0, tag=2)
+        light_here = contrib * light_at_start
+        rec = dict(valid=act, pos=sp.pos, light_n=sp.light_n,
+                   t_f=sp.t_f, b_f=sp.b_f, vr=sp.vr, uv=sp.uv,
+                   mat_id=sp.mat_id, light_here=light_here)
+        return new_state, rec
+
+    l_state, lrec = jax.lax.scan(
+        light_bounce, l_state, jnp.arange(reverse, dtype=jnp.uint32))
+
+    # --- Splat every light vertex to the camera
+    #     (path_tracer.cpp:367-398) ---
+    lpos = lrec["pos"]          # [K,R,3]
+    lvalid = lrec["valid"]      # [K,R]
+    campos = jnp.broadcast_to(cam.origin, lpos.shape)
+    vis_cam = isect.visibility(
+        scene, intersect,
+        lpos.reshape(-1, 3), campos.reshape(-1, 3)
+    ).reshape(lvalid.shape)
+    direction = vm.normalize(lpos - campos)  # camera -> vertex
+    f_cam = bxdf_ops.eval_bxdf(
+        scene, mat_pack, lrec["mat_id"].reshape(-1),
+        vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
+                    lrec["vr"]).reshape(-1, 3),
+        vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
+                    -direction).reshape(-1, 3),
+        lrec["uv"].reshape(-1, 2), tables,
+        has_mix=meta.has_mix, has_ltc=meta.has_ltc,
+        has_textures=meta.has_textures).reshape(lpos.shape)
+    g_cam = (jnp.maximum(0.0, vm.dot(lrec["light_n"], -direction))
+             / jnp.maximum(vm.distance2(campos, lpos), 1e-12))
+    q = lrec["light_here"] * f_cam * g_cam[..., None]
+    x2, y2, in_view = coords_from_direction(cam, direction)
+    splat_ok = (lvalid & vis_cam & in_view & (g_cam >= 1e-5)
+                & jnp.isfinite(q).all(axis=-1))
+    pix = jnp.where(splat_ok, y2 * cam.xres + x2, -1)
+    splat_pix = pix.transpose(1, 0)                  # [R,K]
+    splat_val = jnp.where(splat_ok[..., None], q,
+                          0.0).transpose(1, 0, 2)    # [R,K,3]
+    return lrec, splat_pix, splat_val, l_state.ray_count
+
+
+def _connect_to_light_vertex(scene, meta, tables, mat_pack, intersect,
+                             lv, sp, p0, act):
+    """One BDPT eye-vertex x light-vertex connection
+    (path_tracer.cpp:463-480).  `lv` holds one light vertex per lane
+    (fields as in _trace_light_subpaths' lrec, [R, ...])."""
+    l_valid = lv["valid"]
+    l_pos = lv["pos"]
+    vis_c = isect.visibility(scene, intersect, l_pos, sp.pos,
+                             active=l_valid & act)
+    light_to_p = vm.normalize(sp.pos - l_pos)
+    p_to_light = -light_to_p
+    f_light = bxdf_ops.eval_bxdf(
+        scene, mat_pack, lv["mat_id"],
+        vm.to_local(lv["light_n"], lv["t_f"], lv["b_f"], light_to_p),
+        vm.to_local(lv["light_n"], lv["t_f"], lv["b_f"], lv["vr"]),
+        lv["uv"], tables,
+        has_mix=meta.has_mix, has_ltc=meta.has_ltc,
+        has_textures=meta.has_textures)
+    f_point = bxdf_ops.eval_bxdf(
+        scene, mat_pack, sp.mat_id, _to_local(sp, sp.vr),
+        _to_local(sp, p_to_light), sp.uv, tables,
+        has_mix=meta.has_mix, has_ltc=meta.has_ltc,
+        has_textures=meta.has_textures, p0=p0)
+    g_c = (jnp.abs(vm.dot(sp.light_n, p_to_light))
+           / jnp.maximum(vm.distance2(l_pos, sp.pos), 1e-12))
+    term = lv["light_here"] * f_light * f_point * g_c[..., None]
+    return jnp.where((l_valid & vis_c)[..., None], term, 0.0)
+
+
+# lrec pack layout for the queued eye walk: one row of floats per
+# (lane, sample, light vertex).
+_LV_F = 19  # valid, pos3, light_n3, t_f3, b_f3, vr3, uv2, mat_id
+
+
+def _pack_light_vertices(lrec, reverse, R, n_samples):
+    """[K, R*S, ...] lrec dict (sample-OUTER lane layout: flat lane
+    index = s*R + lane) -> [R, S, K*(19+3)] packed rows (the
+    light_here color rides after the 19 geometry floats)."""
+    parts = [
+        lrec["valid"][..., None].astype(jnp.float32),
+        lrec["pos"], lrec["light_n"], lrec["t_f"], lrec["b_f"],
+        lrec["vr"], lrec["uv"],
+        lrec["mat_id"][..., None].astype(jnp.float32),
+        lrec["light_here"],
+    ]
+    flat = jnp.concatenate(parts, axis=-1)      # [K, R*S, 22]
+    k = flat.shape[0]
+    flat = flat.transpose(1, 0, 2)              # [R*S, K, 22]
+    flat = flat.reshape(n_samples, R, k * (_LV_F + 3))
+    return flat.transpose(1, 0, 2)              # [R, S, K*22]
+
+
+def _unpack_light_vertex(rows, k):
+    """One [R, K*22] packed row set -> light-vertex dict for slot k."""
+    o = k * (_LV_F + 3)
+    return dict(
+        valid=rows[:, o + 0] > 0.5,
+        pos=rows[:, o + 1:o + 4],
+        light_n=rows[:, o + 4:o + 7],
+        t_f=rows[:, o + 7:o + 10],
+        b_f=rows[:, o + 10:o + 13],
+        vr=rows[:, o + 13:o + 16],
+        uv=rows[:, o + 16:o + 18],
+        mat_id=rows[:, o + 18].astype(jnp.int32),
+        light_here=rows[:, o + 19:o + 22],
+    )
+
+
+def trace_wavefront_queued_bdpt(scene, meta, settings, cam, px, py,
+                                sample0, n_samples: int, seed,
+                                sampler_mode: int = 1):
+    """Queued-regeneration BDPT (reverse > 0): the TPU fast path for
+    bidirectional tracing.
+
+    Two phases inside one jit:
+      1. ALL (pixel, sample) light subpaths for the round are traced
+         vectorized (one K-step scan over R*n_samples lanes,
+         reference path_tracer.cpp:339-398), their camera splats
+         scattered ONCE into a device-local [H*W+1, 3] splat image
+         (the +1 row swallows invalid pixels), and the vertex records
+         packed per (lane, sample) in HBM.
+      2. The eye walk runs the same in-place sample regeneration as
+         trace_wavefront_queued — lanes start their next sample the
+         iteration after a path dies, keeping occupancy near 100%
+         where the per-sample wavefront pays max-depth sweeps on
+         mostly-dead lanes — and connects every eye vertex to its
+         sample's stored light vertices (path_tracer.cpp:463-480)
+         via one take-along gather per iteration.
+
+    Every per-(pixel, sample) value is bitwise identical to
+    trace_wavefront because sampling is a pure function of (seed,
+    pixel, sample, dim); only the splat image's scatter order differs
+    (1-ulp class).  Returns (radiance [R,3], splat_img [H*W+1,3],
+    rays)."""
+    reverse = int(settings.reverse)
+    assert reverse > 0
+    tables = ltc_ops.LTCTables(rows=scene.ltc_rows)
+    mat_pack = bxdf_ops.build_mat_pack(scene.materials)
+    intersect = isect.make_intersector(meta)
+    depth = int(settings.recursion_max)
+    russian = float(settings.russian)
+    clamp = float(settings.clamp)
+    R = px.shape[0]
+    hw = cam.xres * cam.yres
+
+    pixel_id = (py.astype(jnp.uint32) * jnp.uint32(cam.xres)
+                + px.astype(jnp.uint32))
+    s0 = (jnp.uint32(sample0) if isinstance(sample0, int)
+          else sample0.astype(jnp.uint32))
+    s_end = s0 + jnp.uint32(n_samples)
+
+    def make_ctx(pix, s):
+        return smp.SampleCtx(seed=jnp.uint32(seed), pixel=pix,
+                             sample=s, mode=sampler_mode,
+                             n_set=max(1, int(settings.multisample)))
+
+    # ---- Phase 1: all light subpaths, vectorized over samples.
+    pix_f = jnp.tile(pixel_id, n_samples)
+    s_f = (jnp.repeat(jnp.arange(n_samples, dtype=jnp.uint32), R)
+           + s0)
+    ctx_f = make_ctx(pix_f, s_f)
+    light_f = _sample_path_light(scene, ctx_f)
+    lightdir2 = smp.sample_2d(ctx_f, smp.DIM_LIGHTDIR)
+    # Device-varying zero (see the carry note in the light tracer):
+    # under shard_map a replicated scalar init would mismatch the
+    # per-shard ray-count sum's type.
+    lrec, splat_pix, splat_val, rays0 = _trace_light_subpaths(
+        scene, meta, settings, cam, ctx_f, tables, mat_pack,
+        intersect, light_f, lightdir2, reverse, jnp.sum(px * 0))
+    spix = splat_pix.reshape(-1)
+    sval = splat_val.reshape(-1, 3)
+    good = spix >= 0
+    splat_img = jnp.zeros((hw + 1, 3), jnp.float32)
+    idx = jax.lax.optimization_barrier(jnp.where(good, spix, hw))
+    splat_img = splat_img.at[idx].add(
+        jnp.where(good[..., None], sval, 0.0))
+    # [R, S, K*22] per-(lane, sample) vertex rows.
+    lpack = _pack_light_vertices(lrec, reverse, R, n_samples)
+
+    # ---- Phase 2: queued eye walk (trace_wavefront_queued + BDPT
+    # connections).
+    class _Q(NamedTuple):
+        ro: jnp.ndarray
+        rd: jnp.ndarray
+        last_tri: jnp.ndarray
+        contribution: jnp.ndarray
+        alive: jnp.ndarray
+        bounce: jnp.ndarray
+        s: jnp.ndarray
+        sample_rad: jnp.ndarray
+        radiance: jnp.ndarray
+        rays: jnp.ndarray
+
+    vz_f = px.astype(jnp.float32) * 0.0
+    vz_i = px * 0
+    init = _Q(
+        ro=vz_f[:, None] + jnp.zeros((1, 3), jnp.float32),
+        rd=vz_f[:, None] + jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+        last_tri=vz_i - 1,
+        contribution=vz_f[:, None] + jnp.zeros((1, 3), jnp.float32),
+        alive=px < 0,
+        bounce=vz_i,
+        s=vz_i.astype(jnp.uint32) + s0,
+        sample_rad=vz_f[:, None] + jnp.zeros((1, 3), jnp.float32),
+        radiance=vz_f[:, None] + jnp.zeros((1, 3), jnp.float32),
+        rays=jnp.sum(vz_i) + rays0,
+    )
+
+    def cond(q):
+        return jnp.any(q.alive | (q.s < s_end))
+
+    def body(q):
+        need = (~q.alive) & (q.s < s_end)
+        ctx = make_ctx(pixel_id, q.s)
+        jitter = smp.sample_2d(ctx, smp.DIM_PIXEL_JITTER)
+        if cam.is_simple:
+            ro0, rd0 = pixel_rays(cam, px, py, jitter)
+        else:
+            ro0, rd0 = pixel_rays(
+                cam, px, py, jitter,
+                lens_sample=smp.sample_2d(ctx, smp.DIM_LENS))
+        n3 = need[..., None]
+        state = SubpathState(
+            ro=jnp.where(n3, ro0, q.ro),
+            rd=jnp.where(n3, rd0, q.rd),
+            last_tri=jnp.where(need, -1, q.last_tri),
+            contribution=jnp.where(n3, 1.0, q.contribution),
+            alive=q.alive | need,
+            ray_count=q.rays,
+        )
+        bounce = jnp.where(need, 0, q.bounce)
+
+        light = _sample_path_light(scene, ctx)
+
+        new_state, sp, p0, act, contrib, sky_mask = _extend_path(
+            scene, meta, settings, tables, mat_pack, ctx, state,
+            bounce.astype(jnp.uint32), bounce + 1, russian, tag=1)
+
+        sky = tex_ops.sky_radiance(scene, -state.rd,
+                                   has_envmap=meta.has_envmap)
+        sample_rad = q.sample_rad + jnp.where(sky_mask[..., None],
+                                              contrib * sky, 0.0)
+        total_here = _vertex_radiance(scene, meta, settings, tables,
+                                      mat_pack, intersect, light, sp, p0,
+                                      active=act)
+
+        # This sample's stored light vertices: one [R, K*22] row
+        # gather per iteration, then K connection visibilities.
+        s_rel = jnp.clip((q.s - s0).astype(jnp.int32), 0,
+                         n_samples - 1)
+        rows = jnp.take_along_axis(
+            lpack, s_rel[:, None, None], axis=1)[:, 0, :]
+
+        for k in range(reverse):  # static count: unrolled
+            lv = _unpack_light_vertex(rows, k)
+            total_here = total_here + _connect_to_light_vertex(
+                scene, meta, tables, mat_pack, intersect, lv, sp, p0,
+                act)
+
+        total_here = jnp.minimum(total_here, clamp)
+        sample_rad = sample_rad + jnp.where(act[..., None],
+                                            contrib * total_here, 0.0)
+
+        alive_after = new_state.alive & (bounce + 1 < depth)
+        ended = state.alive & ~alive_after
+        flushed = jnp.minimum(sample_rad, clamp)
+        flushed = jnp.where(jnp.isnan(flushed) | (flushed < 0.0), 0.0,
+                            flushed)
+        e3 = ended[..., None]
+        return _Q(ro=new_state.ro, rd=new_state.rd,
+                  last_tri=new_state.last_tri,
+                  contribution=new_state.contribution,
+                  alive=alive_after, bounce=bounce + 1,
+                  s=jnp.where(ended, q.s + jnp.uint32(1), q.s),
+                  sample_rad=jnp.where(e3, 0.0, sample_rad),
+                  radiance=q.radiance + jnp.where(e3, flushed, 0.0),
+                  rays=new_state.ray_count)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.radiance, splat_img, final.rays
+
+
 def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
                     differentiable: bool = False) -> TraceResult:
     """Trace one eye path (and optional light subpath) per lane.
@@ -433,63 +752,9 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
 
     # ---------------- Light subpath (reverse > 0) ----------------
     if reverse > 0:
-        from ..ops import warps
-        emission_dir = warps.to_hemisphere_cosine_directed(
-            lightdir2, light.normal)
-        light_at_start = (light.color * light.intensity[..., None]
-                          * light.directional_factor(emission_dir)[..., None])
-        l_state = SubpathState(
-            ro=light.pos + scene.epsilon * 100.0 * light.normal,
-            rd=emission_dir,
-            last_tri=jnp.full((R,), -1, jnp.int32),
-            contribution=jnp.ones((R, 3), jnp.float32),
-            alive=jnp.ones((R,), bool) & light.valid,
-            ray_count=ray_count0,
-        )
-
-        def light_bounce(state, k):
-            new_state, sp, p0, act, contrib, _sky = _extend_path(
-                scene, meta, settings, tables, mat_pack, ctx, state, k,
-                k + 1, -1.0, tag=2)
-            light_here = contrib * light_at_start
-            rec = dict(valid=act, pos=sp.pos, light_n=sp.light_n,
-                       t_f=sp.t_f, b_f=sp.b_f, vr=sp.vr, uv=sp.uv,
-                       mat_id=sp.mat_id, light_here=light_here)
-            return new_state, rec
-
-        l_state, lrec = jax.lax.scan(
-            light_bounce, l_state, jnp.arange(reverse, dtype=jnp.uint32))
-        ray_count0 = l_state.ray_count
-
-        # --- Splat every light vertex to the camera
-        #     (path_tracer.cpp:367-398) ---
-        lpos = lrec["pos"]          # [K,R,3]
-        lvalid = lrec["valid"]      # [K,R]
-        campos = jnp.broadcast_to(cam.origin, lpos.shape)
-        vis_cam = isect.visibility(
-            scene, intersect,
-            lpos.reshape(-1, 3), campos.reshape(-1, 3)
-        ).reshape(lvalid.shape)
-        direction = vm.normalize(lpos - campos)  # camera -> vertex
-        f_cam = bxdf_ops.eval_bxdf(
-            scene, mat_pack, lrec["mat_id"].reshape(-1),
-            vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
-                        lrec["vr"]).reshape(-1, 3),
-            vm.to_local(lrec["light_n"], lrec["t_f"], lrec["b_f"],
-                        -direction).reshape(-1, 3),
-            lrec["uv"].reshape(-1, 2), tables,
-            has_mix=meta.has_mix, has_ltc=meta.has_ltc,
-            has_textures=meta.has_textures).reshape(lpos.shape)
-        g_cam = (jnp.maximum(0.0, vm.dot(lrec["light_n"], -direction))
-                 / jnp.maximum(vm.distance2(campos, lpos), 1e-12))
-        q = lrec["light_here"] * f_cam * g_cam[..., None]
-        x2, y2, in_view = coords_from_direction(cam, direction)
-        splat_ok = (lvalid & vis_cam & in_view & (g_cam >= 1e-5)
-                    & jnp.isfinite(q).all(axis=-1))
-        pix = jnp.where(splat_ok, y2 * cam.xres + x2, -1)
-        splat_pix = pix.transpose(1, 0)                  # [R,K]
-        splat_val = jnp.where(splat_ok[..., None], q,
-                              0.0).transpose(1, 0, 2)    # [R,K,3]
+        lrec, splat_pix, splat_val, ray_count0 = _trace_light_subpaths(
+            scene, meta, settings, cam, ctx, tables, mat_pack,
+            intersect, light, lightdir2, reverse, ray_count0)
     else:
         lrec = None
         splat_pix = jnp.full((R, 0), -1, jnp.int32)
@@ -526,32 +791,10 @@ def trace_wavefront(scene, meta, settings, cam, ctx, px, py,
         # (path_tracer.cpp:463-480)
         if reverse > 0:
             def connect(k, acc):
-                l_valid = lrec["valid"][k]
-                l_pos = lrec["pos"][k]
-                vis_c = isect.visibility(scene, intersect, l_pos, sp.pos,
-                                         active=l_valid & act)
-                light_to_p = vm.normalize(sp.pos - l_pos)
-                p_to_light = -light_to_p
-                f_light = bxdf_ops.eval_bxdf(
-                    scene, mat_pack, lrec["mat_id"][k],
-                    vm.to_local(lrec["light_n"][k], lrec["t_f"][k],
-                                lrec["b_f"][k], light_to_p),
-                    vm.to_local(lrec["light_n"][k], lrec["t_f"][k],
-                                lrec["b_f"][k], lrec["vr"][k]),
-                    lrec["uv"][k], tables,
-                    has_mix=meta.has_mix, has_ltc=meta.has_ltc,
-                    has_textures=meta.has_textures)
-                f_point = bxdf_ops.eval_bxdf(
-                    scene, mat_pack, sp.mat_id, _to_local(sp, sp.vr),
-                    _to_local(sp, p_to_light), sp.uv, tables,
-                    has_mix=meta.has_mix, has_ltc=meta.has_ltc,
-                    has_textures=meta.has_textures, p0=p0)
-                g_c = (jnp.abs(vm.dot(sp.light_n, p_to_light))
-                       / jnp.maximum(vm.distance2(l_pos, sp.pos), 1e-12))
-                term = (lrec["light_here"][k] * f_light * f_point
-                        * g_c[..., None])
-                return acc + jnp.where((l_valid & vis_c)[..., None],
-                                       term, 0.0)
+                lv = jax.tree_util.tree_map(lambda a: a[k], lrec)
+                return acc + _connect_to_light_vertex(
+                    scene, meta, tables, mat_pack, intersect, lv, sp,
+                    p0, act)
 
             total_here = jax.lax.fori_loop(0, reverse, connect, total_here)
 

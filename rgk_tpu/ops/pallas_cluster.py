@@ -72,10 +72,13 @@ def _sweep_rows(tilt, rays, tmin, tcap, excl, state, any_hit):
     slice's running best state (t, id).
 
     rays: 6 x [1, 128]; tmin/tcap/excl: [1, 128]; state: (t, id).
-    No `safe` plane: a parallel ray gives rddn == 0, t = +-inf or
-    NaN, and every interval compare is false (thin-glass/padding rows
-    are folded to d=1, n=0 at build => t = -inf, same rejection).
-    """
+    Pure VPU hit-point form — an MXU variant ([rows,16] @ [16,6*128]
+    two-dot contraction) measured 20-25% SLOWER across every regime
+    (the 12-deep contraction wastes the systolic array and the ray
+    matrices spill), so the dots stay elementwise.  No `safe` plane:
+    a parallel ray gives rddn == 0, t = +-inf or NaN, and every
+    interval compare is false (thin-glass/padding rows are folded to
+    d=1, n=0 at build => t = -inf, same rejection)."""
     rox, roy, roz, rdx, rdy, rdz = rays
     best_t, best_i = state
 
@@ -90,8 +93,7 @@ def _sweep_rows(tilt, rays, tmin, tcap, excl, state, any_hit):
     # Shared hit point: p = ro + t*rd once, then one dot per
     # barycentric (the GEMM oracle's formulation, intersect._pack_test)
     # — bitwise-identical to the outside recompute in
-    # intersect_clusters, so reported barycentrics match the kernel's
-    # accept test exactly.
+    # intersect_clusters.
     px = rox + t * rdx
     py = roy + t * rdy
     pz = roz + t * rdz
@@ -121,11 +123,13 @@ def _sweep_rows(tilt, rays, tmin, tcap, excl, state, any_hit):
 
 
 def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
-                 tpc: int, half_leaf: bool):
+                 tpc: int, half_leaf: bool, K: int):
     """tpc: DMA tiles per chunk; half_leaf: chunks are 64-tri HALVES
-    of a shared DMA tile (chunk_halves == 1)."""
+    of a shared DMA tile (chunk_halves == 1); K: nodes slab-tested
+    per vector->scalar sync (the frontier batch width)."""
 
     rows_dma = 16 * tpc
+    RING = 16  # chunk-stream pipeline depth (VMEM slots)
 
     def kernel(boxes_hbm, bits_hbm, links_hbm, oct_ref, lo_ref,
                step_ref, pack_hbm,
@@ -137,7 +141,8 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
             nodes_ref, leaves_ref = rest[0], rest[1]
             rest = rest[2:]
         (tile_ref, sem_ref, boxes_ref, bits_ref, links_ref,
-         tab_sem, prev_ref, st_t_ref, st_i_ref, occ_ref) = rest
+         tab_sem, prev_ref, st_t_ref, st_i_ref, occ_ref,
+         stack_ref, lq_n_ref, lq_b_ref, ring_t_ref, ring_b_ref) = rest
 
         # The shared node tables (boxes + leaf bits) are DMA'd into
         # PERSISTENT SMEM scratch once, on grid step 0.  (Passing them
@@ -208,10 +213,6 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
                 excl=sl(excl2, j),
             ))
 
-        # Powers of two per sublane, for the packed per-slice mask.
-        pow2_col = (jnp.int32(1) << jax.lax.broadcasted_iota(
-            jnp.int32, (n_sub, 1), 0))
-
         # Hit state lives in mutable VMEM scratch, NOT in the
         # while-loop carry: loop-carried vectors force phi copies
         # through every node step.  With scratch state the loop
@@ -268,9 +269,10 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
         def unpack_lo(w):
             return (w & 0xFFFF).astype(jnp.float32)
 
-        def slab_bits(n, tcap, occ):
-            """Full-width slab test of node n -> packed per-slice hit
-            mask (bit j = some lane of slice j hits), ONE sync."""
+        def slab_hits(n, tcap, occ):
+            """Full-width slab test of node n -> [S, 128] hit mask
+            (pure vector work, NO sync — the caller batches the
+            reduction over K nodes)."""
             w0 = boxes_ref[3 * n]
             w1 = boxes_ref[3 * n + 1]
             w2 = boxes_ref[3 * n + 2]
@@ -289,8 +291,7 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
             hit = (tf >= tn) & (tf >= tmin2) & (tn <= tcap)
             if any_hit:
                 hit = hit & ~occ
-            any_s = jnp.any(hit, axis=1, keepdims=True)  # [S,1]
-            return jnp.sum(jnp.where(any_s, pow2_col, 0))
+            return hit
 
         def link_at(n):
             return links_ref[n >> 7, n & 127]
@@ -298,9 +299,21 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
         def is_leaf(n):
             return ((bits_ref[n >> 5] >> (n & 31)) & 1) > 0
 
+        # ---- v7 frontier march.  The v5/v6 single-cursor walk paid
+        # one ~250-cycle vector->scalar sync PER NODE (the "any lane
+        # hits" reduction) — measured as the dominant cost in every
+        # divergent regime (tools/prof_block_sweep.py r5).  Instead a
+        # scalar STACK drives a batched walk: each round pops up to K
+        # nodes, slab-tests all of them as pure vector work, and packs
+        # all K*S per-(node, slice) hit bits through ONE reduction.
+        # Children are pushed far-then-near with the nearest popped
+        # node's children pushed last, so pops stay approximately
+        # front-to-back and best_t pruning keeps its bite.
+        stack_ref[0] = 0  # root
+
         def cond(carry):
-            node = carry[0]
-            alive = node < n_nodes
+            top = carry[0]
+            alive = top > 0
             if any_hit:
                 work = occ_ref[0]
                 for j in range(1, n_sub):
@@ -309,82 +322,133 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
             return alive
 
         def body(carry):
-            """One outer step = march the shared cursor to the NEXT
-            leaf any lane hits (inner loop, scalar carry only), then
-            handle the leaf: sweep the PENDING chunk's hitting slices,
-            start this chunk's DMA (or merge, when the new leaf is the
-            sibling half of the pending tile)."""
-            node, pend, pbits, slot, steps_v, leaves_v = carry
+            top, head, tail, steps_v, leaves_v = carry
             tcap = jnp.minimum(st_t_ref[...], tmax2)
             occ = (st_i_ref[...] >= 0) if any_hit else None
 
-            def inner_cond(c):
-                n, stop = c[0], c[1]
-                return (n < n_nodes) & ~stop
+            k_eff = jnp.minimum(jnp.int32(K), top)
+            pow2_col = (jnp.int32(1) << jax.lax.broadcasted_iota(
+                jnp.int32, (n_sub, 1), 0))
+            ns = []
+            tot = jnp.zeros((n_sub, 1), jnp.int32)
+            for i in range(K):
+                n = stack_ref[jnp.maximum(top - 1 - i, 0)]
+                ns.append(n)
+                hit = slab_hits(n, tcap, occ)          # [S, 128]
+                anyc = jnp.any(hit, axis=1, keepdims=True)   # [S, 1]
+                tot = tot + jnp.where(anyc & (i < k_eff),
+                                      pow2_col << (i * n_sub), 0)
+            # ONE sync for the whole batch: bit (i*S + s) = some lane
+            # of slice s hits node i.
+            bits_all = jnp.sum(tot)
 
-            def inner_body(c):
-                n, _, _, steps = c
-                w = link_at(n)
-                bits = slab_bits(n, tcap, occ)
-                anyh = bits != 0
-                leaf = is_leaf(n)
-                stop = anyh & leaf
-                nxt = jnp.where(anyh & ~leaf, (w >> 16) & 0xFFFF,
-                                w & 0xFFFF)
-                return (jnp.where(stop, n, nxt), stop, bits, steps + 1)
+            top2 = top - k_eff
+            # Phase A1 (scalar): queue hit leaves near-first for the
+            # single-emission sweep loop below.
+            lcount = jnp.int32(0)
+            decisions = []
+            for i in range(K):
+                b_i = (bits_all >> (i * n_sub)) & ((1 << n_sub) - 1)
+                hit = (i < k_eff) & (b_i != 0)
+                wlink = link_at(ns[i])
+                near = (wlink >> 16) & 0xFFFF
+                leaf = is_leaf(ns[i])
+                decisions.append((hit, leaf, near, b_i))
+                leaf_hit = hit & leaf
 
-            leaf_node, stop, bits, steps = jax.lax.while_loop(
-                inner_cond, inner_body,
-                (node, jnp.bool_(False), jnp.int32(0), jnp.int32(0)))
-            lw = link_at(jnp.minimum(leaf_node, n_nodes - 1))
-            chunk = (lw >> 16) & 0xFFFF
-            missl = lw & 0xFFFF
-            if half_leaf:
-                tile = chunk >> 1
-                nb = bits << ((chunk & 1) * n_sub)
-                # Sibling halves share one DMA tile and are adjacent
-                # in every octant order: merge instead of re-fetching.
-                same = stop & (tile == pend) & (pbits != 0)
-            else:
-                tile = chunk
-                nb = bits
-                same = jnp.bool_(False)
-            flush = stop & ~same
-            new_slot = jnp.where(flush & (pbits != 0), 1 - slot, slot)
+                @pl.when(leaf_hit)
+                def _queue(lcount=lcount, near=near, b_i=b_i):
+                    lq_n_ref[lcount] = near
+                    lq_b_ref[lcount] = b_i
+                lcount = lcount + leaf_hit.astype(jnp.int32)
 
-            # Double-buffered chunk streaming: the found chunk's DMA
-            # starts NOW, its sweep is deferred until the next leaf
-            # (or walk end) so the fetch rides under the node marches.
-            # The one-leaf lag only loosens tcap (best_t still only
-            # shrinks), so pruning stays sound.
-            @pl.when(flush)
-            def _handle_leaf():
-                # ONE semaphore wait for the pending tile (waits are
-                # consume-once), then gated sweeps.
-                @pl.when(pbits != 0)
-                def _wait_pending():
-                    dma_for(pend, slot).wait()
-                flush_sweep(pbits, slot)
-                dma_for(tile, new_slot).start()
+            # Phase A2 (scalar): push hit inner nodes' children
+            # far-then-near, farthest popped node first, so the
+            # nearest node's near child ends on top of the stack.
+            for i in range(K - 1, -1, -1):
+                hit, leaf, near, _ = decisions[i]
+                push = hit & ~leaf
 
-            return (jnp.where(stop, missl, leaf_node),
-                    jnp.where(stop, tile, pend),
-                    jnp.where(same, pbits | nb,
-                              jnp.where(stop, nb, pbits)),
-                    new_slot,
-                    steps_v + steps,
-                    leaves_v + stop.astype(jnp.int32))
+                @pl.when(push)
+                def _push(top2=top2, near=near):
+                    # far child = the near child's skip successor
+                    # (miss(near(n)) == far(n) by construction).
+                    stack_ref[top2] = link_at(near) & 0xFFFF
+                    stack_ref[top2 + 1] = near
+                top2 = top2 + 2 * push.astype(jnp.int32)
 
-        init = (jnp.int32(0), jnp.int32(-1), jnp.int32(0),
-                jnp.int32(0), jnp.int32(0), jnp.int32(0))
-        _, pend, pbits, slot, n_nodes_v, n_leaves_v = \
+            # Phase B: the queued leaves feed a RING-pipelined chunk
+            # stream.  A 2-deep pipeline made each sweep wait its own
+            # DMA when several leaves surfaced in one round (measured:
+            # the dominant residual cost after the frontier batched
+            # the syncs); instead every queued leaf's DMA starts
+            # immediately, and sweeps drain only down to RING-K
+            # in-flight — so fetches ride under the NEXT round's slab
+            # work.  The sweep lag only loosens tcap (best_t still
+            # only shrinks), so pruning stays sound.  Sibling 64-tri
+            # halves share one DMA tile and are queued adjacently:
+            # they merge into the last started entry instead of
+            # re-fetching.
+
+            # B1: make room, sweeping the oldest in-flight chunks.
+            head = drain(head, tail, RING - K)
+
+            # B2: start this round's DMAs (with sibling-tile merge).
+            def start_body(j, tl):
+                chunk = lq_n_ref[j]
+                bts = lq_b_ref[j]
+                if half_leaf:
+                    tile = chunk >> 1
+                    nb = bts << ((chunk & 1) * n_sub)
+                    same = (tl > head) & \
+                        (ring_t_ref[(tl - 1) % RING] == tile)
+                else:
+                    tile = chunk
+                    nb = bts
+                    same = jnp.bool_(False)
+
+                @pl.when(same)
+                def _merge(tl=tl, nb=nb):
+                    s = (tl - 1) % RING
+                    ring_b_ref[s] = ring_b_ref[s] | nb
+
+                @pl.when(~same)
+                def _start(tl=tl, tile=tile, nb=nb):
+                    s = tl % RING
+                    ring_t_ref[s] = tile
+                    ring_b_ref[s] = nb
+                    dma_for(tile, s).start()
+
+                return tl + (~same).astype(jnp.int32)
+
+            tail = jax.lax.fori_loop(0, lcount, start_body, tail)
+
+            return (top2, head, tail,
+                    steps_v + k_eff, leaves_v + lcount)
+
+        def drain(head, tail, keep):
+            """Wait + sweep in-flight ring entries until at most
+            `keep` remain."""
+            def dcond(h):
+                return (tail - h) > keep
+
+            def dbody(h):
+                s = h % RING
+                dma_for(ring_t_ref[s], s).wait()
+                flush_sweep(ring_b_ref[s], s)
+                return h + 1
+
+            return jax.lax.while_loop(dcond, dbody, head)
+
+        init = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
+                jnp.int32(0), jnp.int32(0))
+        _, head, tail, n_nodes_v, n_leaves_v = \
             jax.lax.while_loop(cond, body, init)
 
-        # Flush the pending chunk's hitting slices.
-        @pl.when(pbits != 0)
-        def _flush_final():
-            dma_for(pend, slot).wait()
-            flush_sweep(pbits, slot)
+        # Drain every remaining in-flight chunk (the kernel must not
+        # end with outstanding DMA semaphores; any_hit early exit
+        # reaches here with up to RING entries pending).
+        drain(head, tail, 0)
 
         t_ref[0] = st_t_ref[...]
         idx_ref[0] = st_i_ref[...]
@@ -409,6 +473,9 @@ def _run(boxes_q, leaf_bits, links, pack, scene_lo, scene_step,
     n_nodes = int(boxes_q.shape[0]) // 3
     tpc = max(1, chunk_halves // 2)
     half_leaf = chunk_halves == 1
+    # Frontier batch width: all K*S hit bits must fit one non-sign
+    # int32; 8 wide is past the knee of the sync-amortization curve.
+    K = max(1, min(8, 31 // n_sub))
 
     # Majority ray-direction octant per block selects the
     # front-to-back link table (bit a set = negative along axis a).
@@ -446,7 +513,7 @@ def _run(boxes_q, leaf_bits, links, pack, scene_lo, scene_step,
             (grid[0], n_sub, _LANES), jnp.int32)] * 2
         out_specs += [lane_spec] * 2
     outs = pl.pallas_call(
-        _make_kernel(any_hit, stats, n_sub, n_nodes, tpc, half_leaf),
+        _make_kernel(any_hit, stats, n_sub, n_nodes, tpc, half_leaf, K),
         grid=grid,
         in_specs=[hbm, hbm, hbm,
                   # per-block majority octants: small [n_blocks] i32,
@@ -460,8 +527,8 @@ def _run(boxes_q, leaf_bits, links, pack, scene_lo, scene_step,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((2, 16 * tpc, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((16, 16 * tpc, _LANES), jnp.float32),  # ring
+            pltpu.SemaphoreType.DMA((16,)),
             pltpu.SMEM((n_nodes * 3,), jnp.int32),     # quantized boxes
             pltpu.SMEM((leaf_bits.shape[0],), jnp.int32),
             pltpu.SMEM((n_sub_links, _LANES), jnp.int32),  # octant page
@@ -470,6 +537,13 @@ def _run(boxes_q, leaf_bits, links, pack, scene_lo, scene_step,
             pltpu.VMEM((n_sub, _LANES), jnp.float32),  # best t
             pltpu.VMEM((n_sub, _LANES), jnp.int32),    # best tri
             pltpu.SMEM((n_sub,), jnp.int32),           # any_hit flags
+            # Frontier stack: strict bound is K*(tree depth)+K; 4096
+            # covers CHUNK_CAP trees with a wide margin.
+            pltpu.SMEM((4096,), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),               # round leaf ids
+            pltpu.SMEM((K,), jnp.int32),               # round leaf bits
+            pltpu.SMEM((16,), jnp.int32),              # ring tiles
+            pltpu.SMEM((16,), jnp.int32),              # ring bits
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),  # sequential grid:
@@ -585,12 +659,18 @@ def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
     if any_hit:
         return Hit(t=t, tri=idx, bary_b=jnp.zeros_like(t),
                    bary_c=jnp.zeros_like(t))
-    # Barycentrics are recomputed OUTSIDE the kernel from the winner's
-    # original tri_pack row — one [R,12] gather + a few flops replaces
-    # two [rows,128] reductions per sweep in the hot loop.  Same
-    # formula and operand order as the kernel's accept test
-    # (hit point form), so the values are bitwise consistent.
+    # t and barycentrics are recomputed OUTSIDE the kernel from the
+    # winner's original tri_pack row — one [R,12] gather + a few
+    # flops replaces two [rows,128] reductions per sweep in the hot
+    # loop, and scrubs the MXU contraction's last-ulp noise out of
+    # the reported hit (winner SELECTION used the in-kernel values;
+    # the reported record is exact f32, same formulas as the brute
+    # oracle's _pack_test).
     rows = scene.tri_pack[jnp.clip(idx, 0, scene.tri_pack.shape[0] - 1)]
+    rddn = jnp.sum(rd * rows[:, 0:3], axis=-1)
+    t_ex = -(jnp.sum(ro * rows[:, 0:3], axis=-1) + rows[:, 3]) \
+        / jnp.where(jnp.abs(rddn) > 1e-30, rddn, 1e-30)
+    t = jnp.where(found, t_ex, t)
     p = ro + t[:, None] * rd
     beta = rows[:, 4] + jnp.sum(p * rows[:, 5:8], axis=-1)
     gamma = rows[:, 8] + jnp.sum(p * rows[:, 9:12], axis=-1)

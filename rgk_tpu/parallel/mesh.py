@@ -5,9 +5,12 @@ over all chips (`P("d")`); the scene — triangle soup, BVH, materials,
 texture atlas, LTC tables, light tables — is replicated per device and
 resident in HBM.  With lanes embarrassingly parallel, the only
 cross-device communication in the forward render is the scalar ray-
-counter reduction; XLA inserts the psum.  (Light-tracing splats — the
-one cross-device scatter — are reduced per round via psum over the
-device-local splat images; see integrator/bdpt.py.)
+counter reduction; XLA inserts the psum.  Light-tracing splats — the
+one cross-device scatter — are reduced per block via psum over
+DEVICE-LOCAL splat images: each shard scatters its own lanes' camera
+splats into a local [H*W+1, 3] buffer inside
+integrator/path.trace_wavefront_queued_bdpt, and make_queued_bdpt_fn
+psums the buffers so every device returns the same replicated image.
 
 Multi-host extends the same mesh over `jax.distributed.initialize`:
 each host feeds its local shard of lanes; `process_allgather` collects
@@ -81,6 +84,31 @@ class MeshContext:
             local, mesh=self.mesh,
             in_specs=(P(), P(), P("d"), P("d"), P(), P()),
             out_specs=(P("d"), P()))
+
+    def make_queued_bdpt_fn(self, meta, settings, sampler_mode: int = 1):
+        """Sharded queued-regeneration BDPT tracer (reverse > 0):
+        lanes sharded as in make_queued_fn; each shard's light-path
+        camera splats land in a device-local [H*W+1, 3] image that is
+        psum-reduced over the mesh (SURVEY §5's communication design:
+        local scatter + one collective, never a global scatter across
+        shards)."""
+        from jax import shard_map
+
+        from ..integrator.path import trace_wavefront_queued_bdpt
+
+        ms = max(1, int(settings.multisample))
+
+        def local(scene, cam, px, py, round_off, seed):
+            rad, splat_img, rays = trace_wavefront_queued_bdpt(
+                scene, meta, settings, cam, px, py, round_off, ms,
+                seed, sampler_mode=sampler_mode)
+            return (rad, jax.lax.psum(splat_img, "d"),
+                    jax.lax.psum(rays, "d"))
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P("d"), P("d"), P(), P()),
+            out_specs=(P("d"), P(), P()))
 
     def make_render_fn(self, meta, settings, sampler_mode: int = 1):
         """Jitted lane renderer with lanes sharded over the mesh.

@@ -158,3 +158,36 @@ def test_bdpt_sharded_matches_single_device(tmp_path):
     np.testing.assert_allclose(drv8.acc.sum, drv1.acc.sum,
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(drv8.acc.count, drv1.acc.count)
+
+
+def test_queued_bdpt_matches_per_sample_wavefront(tmp_path):
+    """The queued-regeneration BDPT tracer (the TPU fast path,
+    integrator/path.trace_wavefront_queued_bdpt) must reproduce the
+    per-sample wavefront's estimator exactly: sampling is a pure
+    function of (seed, pixel, sample, dim), so eye radiance is
+    bitwise-identical and the splat image agrees to scatter-order
+    (1-ulp class) float noise."""
+    from rgk_tpu.integrator.path import (render_image_round,
+                                         trace_wavefront_queued_bdpt)
+
+    cfg = load_config(_bdpt_cfg(tmp_path, reverse=3, res=16, ms=4))
+    arrays, meta, _ = build_scene(cfg, build_bvh=False)
+    cam = cfg.get_camera()
+    res, ms = cam.xres, int(cfg.settings.multisample)
+
+    # Reference: the per-sample wavefront (render_image_round drives
+    # trace_wavefront + a host-side splat scatter).
+    rad_ref, counts, rays_ref = render_image_round(
+        arrays, meta, cfg.settings, cam, 0, seed=42)
+
+    yy, xx = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+    px = jnp.asarray(xx.reshape(-1), jnp.int32)
+    py = jnp.asarray(yy.reshape(-1), jnp.int32)
+    rad_q, splat_img, rays_q = trace_wavefront_queued_bdpt(
+        arrays, meta, cfg.settings, cam, px, py, 0, ms, 42)
+    img_q = (np.asarray(rad_q).reshape(res, res, 3)
+             + np.asarray(splat_img)[:res * res].reshape(res, res, 3))
+
+    assert int(rays_q) == int(rays_ref)
+    np.testing.assert_allclose(img_q, np.asarray(rad_ref),
+                               rtol=2e-5, atol=1e-6)
