@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Benchmark: wavefront path-tracing throughput on the attached device.
 
-Two regimes, mirroring BASELINE.md:
+Three regimes, mirroring BASELINE.md:
 
 * cornell-box (reference scenes/cornell-box.json, analytic geometry,
   areal light, RR) — the flat-kernel wavefront regime;
+* bdpt_box (tools/bdpt_scene.py, reverse=4) — the bidirectional
+  regime (reference box2-class), through the queued BDPT tracer;
 * colonnade (tools/make_bigscene.py, ~1M triangles) — the cluster-BVH
   regime standing in for the reference's sponza flagship
   (BASELINE.json configs[3]; the sponza OBJ is not in the repo).
@@ -39,7 +41,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 # Measured by tools/measure_baseline.py (RGKrt self-reported rays/s;
 # see tools/baseline_measured.json for the full record).  Fallback
 # constants are that file's values from the 2-vCPU build host.
-_FALLBACK_BASELINES = {"cornell_box": 0.5391, "colonnade": 0.0951}
+_FALLBACK_BASELINES = {"cornell_box": 0.5391, "colonnade": 0.0951,
+                       "bdpt_box": 0.4487}
 
 
 def _baselines() -> dict:
@@ -47,7 +50,8 @@ def _baselines() -> dict:
     try:
         with open(path) as f:
             d = json.load(f)
-        return {k: d[k]["mrays_per_s"] for k in ("cornell_box", "colonnade")}
+        return {k: d[k]["mrays_per_s"]
+                for k in ("cornell_box", "colonnade", "bdpt_box")}
     except Exception:
         return dict(_FALLBACK_BASELINES)
 
@@ -182,6 +186,32 @@ def bench_colonnade() -> tuple[float, float, float]:
     return _measure(driver, 2), commit_s, corr
 
 
+def bench_bdpt() -> float:
+    """Bidirectional regime (reverse=4): the shared box2-class scene
+    (tools/bdpt_scene.py — the identical JSON RGKrt renders for the
+    baseline in tools/measure_baseline.py), driven through the queued
+    BDPT tracer.  Throughput keeps the reference's extension-ray
+    counter semantics (light + eye subpath extensions)."""
+    import json as _json
+
+    from rgk_tpu.driver.render import RenderDriver
+    from rgk_tpu.scene.config import build_scene, load_config
+
+    sys.path.insert(0, os.path.join(HERE, "tools"))
+    from bdpt_scene import scene_dict
+
+    d = "/tmp/bdpt_bench"
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "bdpt_box.json")
+    with open(p, "w") as f:
+        _json.dump(scene_dict(res=512, ms=16), f)
+    cfg = load_config(p)
+    arrays, meta, _ = build_scene(cfg, build_bvh=False)
+    driver = RenderDriver(cfg.settings, arrays, meta, cfg.get_camera(),
+                          chunk_lanes=1 << 21)
+    return _measure(driver, 2)
+
+
 def main() -> int:
     import jax
 
@@ -191,6 +221,7 @@ def main() -> int:
 
     base = _baselines()
     cornell = bench_cornell()
+    bdpt = bench_bdpt()
     colonnade, commit_s, parity = bench_colonnade()
 
     print(json.dumps({
@@ -200,6 +231,8 @@ def main() -> int:
         "vs_baseline": round(colonnade / base["colonnade"], 3),
         "cornell_mrays_per_s": round(cornell, 3),
         "cornell_vs_baseline": round(cornell / base["cornell_box"], 3),
+        "bdpt_mrays_per_s": round(bdpt, 3),
+        "bdpt_vs_baseline": round(bdpt / base["bdpt_box"], 3),
         "colonnade_commit_s": round(commit_s, 2),
         # TPU-cluster-kernel vs host-CPU-BVH image correlation at
         # identical (seed, pixel, sample) — the pixel gate behind the

@@ -248,6 +248,21 @@ def _vertex_radiance(scene, meta, settings, tables, mat_pack, intersect,
     g = jnp.abs(vm.dot(sp.light_n, vi_l)) / dist2
     inc = (light.color * light.intensity[..., None]
            * light.directional_factor(-vi_l)[..., None])
+    if meta.has_thinglass and bool(getattr(settings, "tint_thinglass",
+                                           False)):
+        # Extension of the reference's disabled tint (path_tracer.cpp
+        # :429-451): thin-glass crossings of the shadow segment filter
+        # the incident light.  Collected light->point like the
+        # reference's VisibilityWithThinglass; orientation uses the
+        # point->light direction Vi (path_tracer.cpp:451).
+        from ..ops import thinglass as tg
+        seg = sp.pos - light.pos
+        dist = vm.length(seg)
+        rd_seg = seg / jnp.maximum(dist, 1e-12)[..., None]
+        ts, tris = tg.collect_thinglass(
+            scene, light.pos, rd_seg, scene.epsilon * 20.0,
+            dist - scene.epsilon * 20.0)
+        inc = tg.apply_thinglass(scene, inc, ts, tris, vi_l, tint=True)
     total_here = jnp.where((vis & light.valid)[..., None],
                            inc * f * g[..., None], 0.0)
     # Emission (front side only) — from the packed row table.
@@ -363,6 +378,15 @@ def trace_wavefront_queued(scene, meta, settings, cam, px, py,
         # 4) Radiance at this vertex: sky escape or NEE + emission.
         sky = tex_ops.sky_radiance(scene, -state.rd,
                                    has_envmap=meta.has_envmap)
+        if meta.has_thinglass and bool(getattr(
+                settings, "tint_thinglass", False)):
+            # Sky radiance filtered through the escape segment's
+            # thin-glass crossings (path_tracer.cpp:414).
+            from ..ops import thinglass as tg
+            ts_g, tr_g = tg.collect_thinglass(scene, state.ro, state.rd,
+                                              0.0, RAY_FAR)
+            sky = tg.apply_thinglass(scene, sky, ts_g, tr_g, state.rd,
+                                     tint=True)
         sample_rad = q.sample_rad + jnp.where(sky_mask[..., None],
                                               contrib * sky, 0.0)
         total_here = _vertex_radiance(scene, meta, settings, tables,

@@ -59,10 +59,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import Hit
 
 _BIG = 3.4e38
-# Measured on the 1M-tri colonnade (tools/prof_block_sweep.py): 256
-# balances leaf-sweep union redundancy (shrinks with block size)
-# against per-block fixed cost.
-DEFAULT_BLOCK = 256
+# Measured on the 1M-tri colonnade (tools/prof_block_sweep.py + e2e
+# bench): with the v7 frontier march + v8 ring pipeline the per-block
+# fixed costs amortize better at 512 (e2e 0.85 -> 0.91 Mrays/s vs
+# 256); 1024 wins coherent microbenches but loses the e2e mix to
+# sweep-union redundancy.
+DEFAULT_BLOCK = 512
 _LANES = 128
 
 
@@ -474,7 +476,9 @@ def _run(boxes_q, leaf_bits, links, pack, scene_lo, scene_step,
     tpc = max(1, chunk_halves // 2)
     half_leaf = chunk_halves == 1
     # Frontier batch width: all K*S hit bits must fit one non-sign
-    # int32; 8 wide is past the knee of the sync-amortization curve.
+    # int32.  8 is the measured knee: K=15 at S<=2 loses 15-20% on
+    # coherent blocks, whose frontiers are usually narrower than K —
+    # the masked tail still pays full vector slab work.
     K = max(1, min(8, 31 // n_sub))
 
     # Majority ray-direction octant per block selects the

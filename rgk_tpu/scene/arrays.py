@@ -163,6 +163,15 @@ class SceneArrays(NamedTuple):
     # Sublane-padded transpose of tri_pack for the Pallas flat-scene
     # intersector (ops/pallas_intersect.py prepare_pack_mp).
     pack_mp: jnp.ndarray    # f32 [Mp, 16]
+    # Thin-glass triangle SUBSET for the ordered hit-list query
+    # (ops/thinglass.py): the reference's fourth traversal collects
+    # thin-glass hits while skipping them (src/scene_intersect.cpp:
+    # 385-399); TPU-native that's a SECOND narrow sweep over just the
+    # glass triangles (panes are few) instead of K-lists inside the
+    # hot any-hit kernel.  One never-hit row (d=1) when the scene has
+    # no thin glass.
+    glass_pack: jnp.ndarray  # f32 [G, 12] Badouel rows of glass tris
+    glass_ids: jnp.ndarray   # i32 [G] original triangle ids (-1 pad)
     materials: MaterialTable
     textures: TextureAtlas
     lights: LightTable

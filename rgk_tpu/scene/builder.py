@@ -83,27 +83,38 @@ def build_tri_pack(vertices: np.ndarray, tri_vidx: np.ndarray) -> np.ndarray:
     n = n / np.maximum(nl, 1e-30)
     d = -np.sum(n * a, axis=-1)
 
-    m = len(a)
-    # Dominant axis per tri; project the other two.
+    # Dominant axis per tri; project the other two.  Pure column
+    # selects (no per-element fancy indexing — the gather/scatter
+    # form cost ~1.4 s of the 1M-tri commit; i1 in {0,1} and
+    # i2 in {1,2}, so two wheres per read and three per write cover
+    # every case).
     k = np.argmax(np.abs(n), axis=-1)
     i1 = np.where(k == 0, 1, 0)
     i2 = np.where(k == 2, 1, 2)
-    rows = np.arange(m)
-    b1 = b[rows, i1] - a[rows, i1]
-    b2 = b[rows, i2] - a[rows, i2]
-    c1 = c[rows, i1] - a[rows, i1]
-    c2 = c[rows, i2] - a[rows, i2]
+
+    def sel(v, idx):
+        return np.where(idx == 0, v[:, 0],
+                        np.where(idx == 1, v[:, 1], v[:, 2]))
+
+    a1, a2 = sel(a, i1), sel(a, i2)
+    b1 = sel(b, i1) - a1
+    b2 = sel(b, i2) - a2
+    c1 = sel(c, i1) - a1
+    c2 = sel(c, i2) - a2
     denom = b1 * c2 - b2 * c1
     denom = np.where(np.abs(denom) > 1e-30, denom, 1e-30)
 
-    bv = np.zeros((m, 3))
-    gv = np.zeros((m, 3))
-    bv[rows, i1] = c2 / denom
-    bv[rows, i2] = -c1 / denom
-    gv[rows, i1] = -b2 / denom
-    gv[rows, i2] = b1 / denom
-    b0 = -(a[rows, i1] * c2 - a[rows, i2] * c1) / denom
-    g0 = -(a[rows, i2] * b1 - a[rows, i1] * b2) / denom
+    def place(v1, v2):
+        """Vector with component i1 = v1, component i2 = v2, rest 0."""
+        col0 = np.where(i1 == 0, v1, 0.0)          # i2 is never 0
+        col1 = np.where(i1 == 1, v1, np.where(i2 == 1, v2, 0.0))
+        col2 = np.where(i2 == 2, v2, 0.0)          # i1 is never 2
+        return np.stack([col0, col1, col2], axis=1)
+
+    bv = place(c2 / denom, -c1 / denom)
+    gv = place(-b2 / denom, b1 / denom)
+    b0 = -(a1 * c2 - a2 * c1) / denom
+    g0 = -(a2 * b1 - a1 * b2) / denom
 
     pack = np.concatenate([
         n, d[:, None], b0[:, None], bv, g0[:, None], gv], axis=1)
@@ -350,12 +361,40 @@ class SceneBuilder:
         if build_bvh and self._tri_count > bvh_threshold:
             from .bvh import build_bvh as _build
             from .clusters import build_clusters
+
+            # Ship the BIG host->device uploads (~250 MB at 1M tris:
+            # tri_shade, tri_pack, geometry) from WORKER THREADS while
+            # the SAH/cluster host build runs — device_put on the
+            # tunneled platform is a synchronous ~50 MB/s RPC, so
+            # inline it would serialize a multi-second tax after the
+            # build (round-4 review item: in-bench commit ~3 s above
+            # the host-side build).  The numpy sources are read-only
+            # from here on.
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(2)
+            early = dict(
+                vertices=(_f32, vertices), normals=(_f32, normals),
+                tangents=(_f32, tangents), uvs=(_f32, uvs),
+                tri_vidx=(_i32, tri_vidx), tri_mat=(_i32, tri_mat),
+                tri_normal=(_f32, tri_normal),
+                tri_pack=(_f32, pack_glass),
+                tri_meta=(_i32, np.concatenate(
+                    [tri_vidx, tri_mat[:, None]], axis=1)),
+                tri_shade=(_f32, np.concatenate([
+                    normals[tri_vidx].reshape(-1, 9),
+                    uvs[tri_vidx].reshape(-1, 6),
+                    tangents[tri_vidx].reshape(-1, 9)], axis=1)),
+            )
+            futs = {k: pool.submit(f, v) for k, (f, v) in early.items()}
             bvh = _build(vertices, tri_vidx, leaf_size=bvh_leaf_size)
             # The cluster build reuses the BVH's SAH triangle order:
             # one 1M-tri SAH sweep feeds both structures (commit-time
             # measurement, tools/prof_commit.py).
             clusters = build_clusters(vertices, tri_vidx, pack_glass,
                                       order=np.asarray(bvh.prim_idx))
+            dev_early = {k: f.result() for k, f in futs.items()}
+            pool.shutdown()
             has_bvh = True
         else:
             from .clusters import empty_clusters
@@ -367,22 +406,34 @@ class SceneBuilder:
                 prim_idx=_i32(np.arange(self._tri_count)),
             )
             has_bvh = False
+            dev_early = dict(
+                vertices=_f32(vertices), normals=_f32(normals),
+                tangents=_f32(tangents), uvs=_f32(uvs),
+                tri_vidx=_i32(tri_vidx), tri_mat=_i32(tri_mat),
+                tri_normal=_f32(tri_normal), tri_pack=_f32(pack_glass),
+                tri_meta=_i32(np.concatenate(
+                    [tri_vidx, tri_mat[:, None]], axis=1)),
+                tri_shade=_f32(np.concatenate([
+                    normals[tri_vidx].reshape(-1, 9),
+                    uvs[tri_vidx].reshape(-1, 6),
+                    tangents[tri_vidx].reshape(-1, 9)], axis=1)),
+            )
+
+        # Thin-glass subset for the ordered hit-list query
+        # (ops/thinglass.py; reference scene_intersect.cpp:385-399).
+        gmask = pack_glass[:, 12] > 0.5
+        if gmask.any():
+            glass_pack = pack_glass[gmask, :12].astype(np.float32)
+            glass_ids = np.nonzero(gmask)[0].astype(np.int32)
+        else:
+            glass_pack = np.zeros((1, 12), np.float32)
+            glass_pack[0, 3] = 1.0  # d=1, n=0: never hits
+            glass_ids = np.full((1,), -1, np.int32)
 
         arrays = SceneArrays(
-            vertices=_f32(vertices),
-            normals=_f32(normals),
-            tangents=_f32(tangents),
-            uvs=_f32(uvs),
-            tri_vidx=_i32(tri_vidx),
-            tri_mat=_i32(tri_mat),
-            tri_normal=_f32(tri_normal),
-            tri_pack=_f32(pack_glass),
-            tri_meta=_i32(np.concatenate(
-                [tri_vidx, tri_mat[:, None]], axis=1)),
-            tri_shade=_f32(np.concatenate([
-                normals[tri_vidx].reshape(-1, 9),
-                uvs[tri_vidx].reshape(-1, 6),
-                tangents[tri_vidx].reshape(-1, 9)], axis=1)),
+            **dev_early,
+            glass_pack=_f32(glass_pack),
+            glass_ids=_i32(glass_ids),
             ltc_rows=_ltc_rows(),
             pack_mp=_pack_mp_or_empty(
                 pack_glass,

@@ -57,6 +57,10 @@ class RenderSettings:
     # default (src/config.hpp:37).
     output_scale: float = -1.0
     thinglass: List[str] = field(default_factory=list)
+    # Extension knob: apply the thin-glass diffuse tint the reference
+    # wires but leaves TODO'd out (src/path_tracer.cpp:97-104).  Off
+    # by default = live-behavior parity (pass-through).
+    tint_thinglass: bool = False
 
 
 class Config:
@@ -109,6 +113,7 @@ class Config:
             if not isinstance(v, list) or not all(isinstance(x, str) for x in v):
                 raise ConfigError('Value "thinglass" must be an array of strings')
             s.thinglass = list(v)
+        s.tint_thinglass = r.opt_bool("tint-thinglass", False)
         return s
 
     # ------------- camera -------------

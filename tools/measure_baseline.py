@@ -99,6 +99,17 @@ def bench_colonnade(tris: int) -> dict:
     return r
 
 
+def bench_bdpt() -> dict:
+    """Bidirectional regime: the shared box2-class scene
+    (tools/bdpt_scene.py) with reverse=4 — identical JSON goes to
+    RGKrt here and to the TPU queued-BDPT tracer in bench.py."""
+    from bdpt_scene import scene_dict
+
+    d = "/tmp/bdpt_baseline"
+    os.makedirs(d, exist_ok=True)
+    return run_rgkrt(scene_dict(res=192, ms=8), "bdpt_box", d)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-colonnade", action="store_true")
@@ -126,6 +137,9 @@ def main() -> int:
         print("[colonnade] rendering through RGKrt ...", flush=True)
         result["colonnade"] = bench_colonnade(args.tris)
         print(json.dumps(result["colonnade"], indent=1), flush=True)
+    print("[bdpt_box] rendering through RGKrt ...", flush=True)
+    result["bdpt_box"] = bench_bdpt()
+    print(json.dumps(result["bdpt_box"], indent=1), flush=True)
 
     with open(OUT_JSON, "w") as f:
         json.dump(result, f, indent=1)
