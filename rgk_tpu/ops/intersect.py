@@ -251,6 +251,22 @@ def make_intersector(meta):
 
                 from .pallas_cluster import (DEFAULT_BLOCK,
                                              intersect_clusters)
+                # Binned (walk-emit + dense chunk sweeps) vs union
+                # traversal: the binned pipeline wins heavily
+                # divergent regimes (sorted-random +13%, shadow fans
+                # +50-74% at 1M tris) but its XLA glue (pair sort +
+                # gathers, ~R*K elements per call) is a fixed cost
+                # that loses the real wavefront mix, where rays are
+                # semi-coherent and many visibility lanes are dead
+                # (colonnade e2e 7.1 -> 9.1 s/round with "any").
+                # RGK_BINNED: "off" (default) = union only, "any" =
+                # binned for any-hit/shadow rays, "all" = both modes.
+                mode = os.environ.get("RGK_BINNED", "off")
+                if mode == "all" or (mode == "any" and any_hit):
+                    from .pallas_binned import intersect_clusters_binned
+                    return intersect_clusters_binned(
+                        scene, ro, rd, t_min, t_max, exclude=exclude,
+                        any_hit=any_hit)
                 blk = int(os.environ.get("RGK_CLUSTER_BLOCK",
                                          DEFAULT_BLOCK))
                 return intersect_clusters(scene, ro, rd, t_min, t_max,

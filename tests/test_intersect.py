@@ -211,3 +211,66 @@ def test_cluster_kernel_empty_interval_lanes():
     np.testing.assert_allclose(np.asarray(full.t)[live][hit],
                                np.asarray(mixed.t)[live][hit],
                                rtol=1e-6)
+
+
+def test_binned_matches_union_kernel():
+    """The binned pipeline (walk-emit + dense chunk sweeps,
+    ops/pallas_binned.py) must agree with the union cluster kernel
+    exactly — same winner, same reported t/barycentrics — across cap
+    settings that exercise overflow + the pass-2 window."""
+    from rgk_tpu.ops.pallas_binned import intersect_clusters_binned
+    from rgk_tpu.ops.pallas_cluster import intersect_clusters
+
+    scene = _cluster_scene(1000, seed=21)
+    ro, rd = _random_rays(2048, seed=22)
+
+    hu = intersect_clusters(scene, ro, rd, 0.0, 1e4, block=256,
+                            interpret=True)
+    for K in (4, 8):  # K=4 overflows often -> pass 2 exercised
+        hb = intersect_clusters_binned(scene, ro, rd, 0.0, 1e4,
+                                       block=256, K=K, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hu.tri),
+                                      np.asarray(hb.tri))
+        hit = np.asarray(hu.tri) >= 0
+        assert hit.mean() > 0.05
+        np.testing.assert_allclose(np.asarray(hu.t)[hit],
+                                   np.asarray(hb.t)[hit], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(hu.bary_b)[hit],
+                                   np.asarray(hb.bary_b)[hit],
+                                   atol=1e-5)
+
+
+def test_binned_exclusion_any_hit_and_windows():
+    from rgk_tpu.ops.pallas_binned import intersect_clusters_binned
+    from rgk_tpu.ops.pallas_cluster import intersect_clusters
+
+    scene = _cluster_scene(1000, seed=21)
+    ro, rd = _random_rays(1024, seed=23)
+    hu = intersect_clusters(scene, ro, rd, 0.0, 1e4, block=256,
+                            interpret=True)
+
+    # exclusion
+    hb = intersect_clusters_binned(scene, ro, rd, 0.0, 1e4,
+                                   exclude=hu.tri, block=256, K=4,
+                                   interpret=True)
+    e = np.asarray(hu.tri)
+    assert not np.any((np.asarray(hb.tri) == e) & (e >= 0))
+
+    # any-hit agrees on occlusion inside a finite window
+    hu2 = intersect_clusters(scene, ro, rd, 0.1, 20.0, any_hit=True,
+                             block=256, interpret=True)
+    hb2 = intersect_clusters_binned(scene, ro, rd, 0.1, 20.0,
+                                    any_hit=True, block=256, K=4,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(hu2.tri) >= 0,
+                                  np.asarray(hb2.tri) >= 0)
+
+    # dead lanes (empty interval) report no hit, neighbours unchanged
+    dead = np.arange(1024) % 3 == 0
+    t_max = jnp.where(jnp.asarray(dead), -1.0, 1e4)
+    hb3 = intersect_clusters_binned(scene, ro, rd, 0.0, t_max,
+                                    block=256, K=4, interpret=True)
+    assert not np.any(np.asarray(hb3.tri)[dead] >= 0)
+    live = ~dead
+    np.testing.assert_array_equal(np.asarray(hu.tri)[live],
+                                  np.asarray(hb3.tri)[live])
