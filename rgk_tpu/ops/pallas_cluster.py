@@ -357,11 +357,14 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
                 leaf = is_leaf(ns[i])
                 decisions.append((hit, leaf, near, b_i))
                 leaf_hit = hit & leaf
-
-                @pl.when(leaf_hit)
-                def _queue(lcount=lcount, near=near, b_i=b_i):
-                    lq_n_ref[lcount] = near
-                    lq_b_ref[lcount] = b_i
+                # Unconditional stores: slot lcount only becomes live
+                # when lcount advances past it, so a non-queue just
+                # leaves garbage the next queue overwrites.  Predicated
+                # stores here measured ~5x slower in the binned-kernel
+                # experiments (pallas_binned.py) — branches serialize
+                # the scalar pipeline.
+                lq_n_ref[lcount] = near
+                lq_b_ref[lcount] = b_i
                 lcount = lcount + leaf_hit.astype(jnp.int32)
 
             # Phase A2 (scalar): push hit inner nodes' children
@@ -370,13 +373,12 @@ def _make_kernel(any_hit: bool, stats: bool, n_sub: int, n_nodes: int,
             for i in range(K - 1, -1, -1):
                 hit, leaf, near, _ = decisions[i]
                 push = hit & ~leaf
-
-                @pl.when(push)
-                def _push(top2=top2, near=near):
-                    # far child = the near child's skip successor
-                    # (miss(near(n)) == far(n) by construction).
-                    stack_ref[top2] = link_at(near) & 0xFFFF
-                    stack_ref[top2 + 1] = near
+                # far child = the near child's skip successor
+                # (miss(near(n)) == far(n) by construction).  Stores
+                # are unconditional into free slots at/above top2 —
+                # same rationale as the leaf queue above.
+                stack_ref[top2] = link_at(near) & 0xFFFF
+                stack_ref[top2 + 1] = near
                 top2 = top2 + 2 * push.astype(jnp.int32)
 
             # Phase B: the queued leaves feed a RING-pipelined chunk
