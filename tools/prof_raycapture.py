@@ -10,6 +10,11 @@ NEE shadow rays after the coherence sort.  The wavefront is jitted,
 so the capture rides an io_callback inside intersect_clusters.
 
 Usage: python tools/prof_raycapture.py [--max-calls 12] [--measure]
+
+Caveat: over the tunneled axon backend in this image, io_callback
+inside the jitted round hits a TPU backend setup/compile error — run
+the capture phase on a CPU-mesh host (JAX_PLATFORMS=cpu) and the
+measure phase on the chip.
 """
 
 from __future__ import annotations
