@@ -481,8 +481,14 @@ def intersect_clusters_binned(scene, ro, rd, t_min, t_max, exclude=None,
                         _ray_sort_key(cl, ro, rd))
         perm = jnp.argsort(key)
         inv_perm = jnp.argsort(perm)
-        ro_s, rd_s = ro[perm], rd[perm]
-        tmin_s, tmax_s, excl_s = t_min[perm], t_max[perm], exclude[perm]
+        # one stacked row gather (per-field gathers cost ~7x more)
+        stk = jnp.concatenate(
+            [ro, rd, t_min[:, None], t_max[:, None],
+             jax.lax.bitcast_convert_type(exclude, jnp.float32)[:, None]],
+            axis=1)[perm]
+        ro_s, rd_s = stk[:, 0:3], stk[:, 3:6]
+        tmin_s, tmax_s = stk[:, 6], stk[:, 7]
+        excl_s = jax.lax.bitcast_convert_type(stk[:, 8], jnp.int32)
 
     rox, roy, roz = ro_s[:, 0], ro_s[:, 1], ro_s[:, 2]
     rdx, rdy, rdz = rd_s[:, 0], rd_s[:, 1], rd_s[:, 2]
@@ -553,7 +559,11 @@ def intersect_clusters_binned(scene, ro, rd, t_min, t_max, exclude=None,
     if pad:
         best_t, best_i = best_t[:R], best_i[:R]
     if inv_perm is not None:
-        best_t, best_i = best_t[inv_perm], best_i[inv_perm]
+        ti = jnp.stack(
+            [best_t, jax.lax.bitcast_convert_type(best_i, jnp.float32)],
+            axis=1)[inv_perm]
+        best_t = ti[:, 0]
+        best_i = jax.lax.bitcast_convert_type(ti[:, 1], jnp.int32)
 
     found = best_i >= 0
     if any_hit:
