@@ -481,14 +481,14 @@ def intersect_clusters_binned(scene, ro, rd, t_min, t_max, exclude=None,
                         _ray_sort_key(cl, ro, rd))
         perm = jnp.argsort(key)
         inv_perm = jnp.argsort(perm)
-        # one stacked row gather (per-field gathers cost ~7x more)
+        # one stacked f32 row gather (per-field gathers cost ~7x
+        # more); ints gather separately — f32 lanes flush/canonicalize
+        # int bit patterns on TPU.
         stk = jnp.concatenate(
-            [ro, rd, t_min[:, None], t_max[:, None],
-             jax.lax.bitcast_convert_type(exclude, jnp.float32)[:, None]],
-            axis=1)[perm]
+            [ro, rd, t_min[:, None], t_max[:, None]], axis=1)[perm]
         ro_s, rd_s = stk[:, 0:3], stk[:, 3:6]
         tmin_s, tmax_s = stk[:, 6], stk[:, 7]
-        excl_s = jax.lax.bitcast_convert_type(stk[:, 8], jnp.int32)
+        excl_s = exclude[perm]
 
     rox, roy, roz = ro_s[:, 0], ro_s[:, 1], ro_s[:, 2]
     rdx, rdy, rdz = rd_s[:, 0], rd_s[:, 1], rd_s[:, 2]
@@ -514,16 +514,15 @@ def intersect_clusters_binned(scene, ro, rd, t_min, t_max, exclude=None,
     rend = _run_ends(cid_sorted)
 
     # one row gather for all per-pair ray data
-    ray9 = jnp.stack(
-        [rox, roy, roz, rdx, rdy, rdz, tmin_s, tmax_s,
-         jax.lax.bitcast_convert_type(excl_s, jnp.float32)], axis=1)
-    pairs = ray9[ray_of]
+    ray8 = jnp.stack(
+        [rox, roy, roz, rdx, rdy, rdz, tmin_s, tmax_s], axis=1)
+    pairs = ray8[ray_of]
+    pair_excl = excl_s[ray_of]
     tp, ip = _run_sweep(
         cl.pack, cid_sorted, rend,
         pairs[:, 0], pairs[:, 1], pairs[:, 2],
         pairs[:, 3], pairs[:, 4], pairs[:, 5],
-        pairs[:, 6], pairs[:, 7],
-        jax.lax.bitcast_convert_type(pairs[:, 8], jnp.int32),
+        pairs[:, 6], pairs[:, 7], pair_excl,
         cl.half_meta.shape[0], interpret)
 
     # ---- reduce per ray: restore original pair order, min over K.
@@ -559,11 +558,7 @@ def intersect_clusters_binned(scene, ro, rd, t_min, t_max, exclude=None,
     if pad:
         best_t, best_i = best_t[:R], best_i[:R]
     if inv_perm is not None:
-        ti = jnp.stack(
-            [best_t, jax.lax.bitcast_convert_type(best_i, jnp.float32)],
-            axis=1)[inv_perm]
-        best_t = ti[:, 0]
-        best_i = jax.lax.bitcast_convert_type(ti[:, 1], jnp.int32)
+        best_t, best_i = best_t[inv_perm], best_i[inv_perm]
 
     found = best_i >= 0
     if any_hit:

@@ -639,13 +639,21 @@ def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
                         _ray_sort_key(cl, ro, rd))
         perm = jnp.argsort(key)
         inv_perm = jnp.argsort(perm)
-        stk = jnp.concatenate(
-            [ro, rd, t_min[:, None], t_max[:, None],
-             jax.lax.bitcast_convert_type(exclude, jnp.float32)[:, None]],
-            axis=1)[perm]
+        # Ints may NOT ride f32 lanes as bit patterns: TPU flushes
+        # denormals and canonicalizes NaNs in transit (id 201 came
+        # back 0, -1 came back 0x7FC00000 — caught by the bench
+        # parity gate).  Ids below 2^24 are EXACT as float values,
+        # so convert-and-round instead; larger scenes fall back to a
+        # separate integer gather.
+        ids_exact = scene.tri_pack.shape[0] < (1 << 24)
+        cols = [ro, rd, t_min[:, None], t_max[:, None]]
+        if ids_exact:
+            cols.append(exclude.astype(jnp.float32)[:, None])
+        stk = jnp.concatenate(cols, axis=1)[perm]
         ro_s, rd_s = stk[:, 0:3], stk[:, 3:6]
         t_min, t_max = stk[:, 6], stk[:, 7]
-        exclude = jax.lax.bitcast_convert_type(stk[:, 8], jnp.int32)
+        exclude = stk[:, 8].astype(jnp.int32) if ids_exact \
+            else exclude[perm]
 
     rox, roy, roz = ro_s[:, 0], ro_s[:, 1], ro_s[:, 2]
     rdx, rdy, rdz = rd_s[:, 0], rd_s[:, 1], rd_s[:, 2]
@@ -666,11 +674,13 @@ def intersect_clusters(scene, ro, rd, t_min, t_max, exclude=None,
     if pad:
         t, idx = t[:R], idx[:R]
     if inv_perm is not None:
-        ti = jnp.stack(
-            [t, jax.lax.bitcast_convert_type(idx, jnp.float32)],
-            axis=1)[inv_perm]
-        t = ti[:, 0]
-        idx = jax.lax.bitcast_convert_type(ti[:, 1], jnp.int32)
+        if scene.tri_pack.shape[0] < (1 << 24):
+            # one [R,2] unsort gather; ids are exact as floats
+            ti = jnp.stack([t, idx.astype(jnp.float32)],
+                           axis=1)[inv_perm]
+            t, idx = ti[:, 0], ti[:, 1].astype(jnp.int32)
+        else:
+            t, idx = t[inv_perm], idx[inv_perm]
 
     found = idx >= 0
     if any_hit:
